@@ -1,0 +1,166 @@
+"""Statistical integrator tests (SURVEY.md §4b): white-furnace unbiasedness
+for every sampling mode, emission handling, Russian roulette, mirror lobe."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu_pathtracer.core.constants import (
+    MATERIAL_MIRROR,
+    SAMPLING_BSDF,
+    SAMPLING_MIS,
+    SAMPLING_RADIOSITY,
+)
+from tpu_pathtracer.core import rng as rng_mod
+from tpu_pathtracer.ops.guiding import build_cdfs
+from tpu_pathtracer.render.integrator import trace
+from tpu_pathtracer.scene.mesh import PrimList
+
+
+def closed_cube(albedo=0.5, emit=0.5):
+    """Closed cube interior: every face emits `emit` and reflects `albedo`.
+
+    Inside it, the expected path radiance is analytically
+        L = emit * sum_{k=0}^{D-1} albedo^k
+    independent of geometry — a white-furnace test that exercises
+    intersection, offsets, RR, and the sampling warp end to end.
+    """
+    s = 1.0
+    faces = []
+    # six inward-facing quads of a [-1,1]^3 cube
+    defs = [
+        ([-s, -s, -s], [2 * s, 0, 0], [0, 2 * s, 0]),   # back z=-1, +z
+        ([s, -s, s], [-2 * s, 0, 0], [0, 2 * s, 0]),    # front z=+1, -z
+        ([-s, -s, s], [0, 0, -2 * s], [0, 2 * s, 0]),   # left x=-1, +x
+        ([s, -s, -s], [0, 0, 2 * s], [0, 2 * s, 0]),    # right x=+1, -x
+        ([-s, -s, s], [2 * s, 0, 0], [0, 0, -2 * s]),   # floor y=-1, +y
+        ([-s, s, -s], [2 * s, 0, 0], [0, 0, 2 * s]),    # ceil y=+1, -y
+    ]
+    for o, u, v in defs:
+        o, u, v = (np.asarray(x, np.float32) for x in (o, u, v))
+        faces.append(np.stack([o, o + u, o + u + v, o + v]))
+    n = len(faces)
+    return PrimList(
+        corners=np.stack(faces),
+        is_quad=np.ones(n, bool),
+        albedo=np.full((n, 3), albedo, np.float32),
+        emission=np.full((n, 3), emit, np.float32),
+        material=np.zeros(n, np.int32),
+    )
+
+
+def furnace_expected(albedo, emit, depth):
+    return emit * sum(albedo**k for k in range(depth))
+
+
+def random_inside_rays(n, seed=0):
+    r = np.random.default_rng(seed)
+    o = r.uniform(-0.5, 0.5, (n, 3)).astype(np.float32)
+    d = r.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    return jnp.asarray(o), jnp.asarray(d)
+
+
+def run_furnace(mode, depth=4, albedo=0.5, emit=0.5, n=1 << 14, cdfs=None,
+                **kw):
+    geom = closed_cube(albedo, emit).build()
+    o, d = random_inside_rays(n)
+    radiance, stats = trace(
+        geom, o, d, rng_mod.base_key(42), max_depth=depth, mode=mode,
+        cdfs=cdfs, **kw,
+    )
+    return float(jnp.mean(radiance)), stats
+
+
+class TestFurnace:
+    def test_bsdf_mode(self):
+        got, _ = run_furnace(SAMPLING_BSDF, depth=4)
+        assert got == pytest.approx(furnace_expected(0.5, 0.5, 4), rel=0.01)
+
+    def test_depth_one_is_pure_emission(self):
+        got, _ = run_furnace(SAMPLING_BSDF, depth=1)
+        assert got == pytest.approx(0.5, abs=1e-5)
+
+    def test_rr_unbiased_deep(self):
+        """Depth 8 engages RR (depth > 2); estimate must stay unbiased."""
+        got, _ = run_furnace(SAMPLING_BSDF, depth=8, albedo=0.8, n=1 << 15)
+        assert got == pytest.approx(
+            furnace_expected(0.8, 0.5, 8), rel=0.02
+        )
+
+    def test_grid_mode_uniform_grid(self):
+        """Pure grid sampling with a uniform valid grid stays ~unbiased
+        (small tolerated bias from the reference's cell-centered pdf
+        approximation, grid.h:258-273 — we replicate it faithfully)."""
+        geom = closed_cube().build()
+        cdfs = build_cdfs(jnp.ones((geom.num_prims, 256)))
+        got, _ = run_furnace(SAMPLING_RADIOSITY, depth=4, cdfs=cdfs)
+        assert got == pytest.approx(furnace_expected(0.5, 0.5, 4), rel=0.05)
+
+    def test_mis_mode_uniform_grid(self):
+        geom = closed_cube().build()
+        cdfs = build_cdfs(jnp.ones((geom.num_prims, 256)))
+        got, _ = run_furnace(
+            SAMPLING_MIS, depth=4, cdfs=cdfs, mis_bsdf_fraction=0.5
+        )
+        assert got == pytest.approx(furnace_expected(0.5, 0.5, 4), rel=0.05)
+
+    def test_invalid_grid_falls_back_to_cosine(self):
+        """All-zero grids are invalid -> integrator must behave exactly
+        like BSDF mode (integrator.h:259-262 fallback)."""
+        geom = closed_cube().build()
+        cdfs = build_cdfs(jnp.zeros((geom.num_prims, 256)))
+        got, _ = run_furnace(SAMPLING_RADIOSITY, depth=4, cdfs=cdfs)
+        assert got == pytest.approx(furnace_expected(0.5, 0.5, 4), rel=0.01)
+
+
+class TestStats:
+    def test_ray_counts(self):
+        n = 1 << 10
+        _, stats = run_furnace(SAMPLING_BSDF, depth=3, n=n)
+        alive = np.asarray(stats.depth_alive)
+        # closed cube: nothing ever escapes, no RR at depth<=2
+        assert alive.tolist() == [n, n, n]
+        assert int(stats.rays) == 3 * n
+
+
+class TestMirror:
+    def test_mirror_bounce_reaches_light(self):
+        """Camera ray hits a mirror floor; the only light is positioned so
+        that just the reflected direction sees it."""
+        floor = np.array(
+            [[-2, 0, -2], [2, 0, -2], [2, 0, 2], [-2, 0, 2]], np.float32
+        )[:, [0, 1, 2]]
+        # quad with +y normal: corners (o, o+u, o+u+v, o+v), u=+x, v=-z
+        o = np.array([-2, 0, 2], np.float32)
+        u = np.array([4, 0, 0], np.float32)
+        v = np.array([0, 0, -4], np.float32)
+        floor = np.stack([o, o + u, o + u + v, o + v])
+        light = np.stack(
+            [
+                np.array([-0.5, 3, -0.5], np.float32),
+                np.array([0.5, 3, -0.5], np.float32),
+                np.array([0.5, 3, 0.5], np.float32),
+                np.array([-0.5, 3, 0.5], np.float32),
+            ]
+        )
+        prims = PrimList(
+            corners=np.stack([floor, light]),
+            is_quad=np.array([True, True]),
+            albedo=np.array([[0.9, 0.9, 0.9], [0.0, 0.0, 0.0]], np.float32),
+            emission=np.array([[0, 0, 0], [5.0, 5.0, 5.0]], np.float32),
+            material=np.array([MATERIAL_MIRROR, 0], np.int32),
+        )
+        geom = prims.build()
+        # ray from (0, 3, 0) downward is reflected straight back up into
+        # the light: L = beta * Le = 0.9 * 5
+        ro = jnp.array([[0.0, 2.0, 0.0]])
+        rd = jnp.array([[0.0, -1.0, 0.0]])
+        radiance, _ = trace(
+            geom, ro, rd, rng_mod.base_key(0), max_depth=3,
+            mode=SAMPLING_BSDF,
+        )
+        np.testing.assert_allclose(
+            np.asarray(radiance)[0], [4.5, 4.5, 4.5], rtol=1e-5
+        )

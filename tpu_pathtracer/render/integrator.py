@@ -1,0 +1,214 @@
+"""Wavefront Monte-Carlo path integrator.
+
+TPU-native re-design of the reference megakernel
+(`/root/reference/include/rendering/integrator.h:189-268`): instead of one
+CUDA thread looping over its private path, the whole ray batch advances one
+bounce per iteration of a `lax.scan` — intersection is a batched MXU
+contraction (ops/intersect.py), termination (miss / Russian roulette /
+throughput cutoff) is a lane mask, and sampling-mode selection is branch-free
+`jnp.where` lane blending. Estimator semantics match the reference exactly:
+
+  per bounce:  intersect(t_min=1e-4)  ->  L += beta * Le
+               RR for depth > 2 with p = min(max(beta), 0.95)
+               beta *= albedo;  kill if |beta| < 1e-5
+               shading normal = facing-forward geometric normal
+               next direction per SamplingMode (BSDF / grid / one-sample MIS
+               with power heuristic and the 10x firefly clamps)
+               respawn at p + n*1e-4
+
+plus one additive capability: a perfect-mirror lobe (MATERIAL_MIRROR) that
+the reference README promises but its code never implements
+(BASELINE.json config #2).
+
+RNG: counter-based threefry. Per bounce the integrator draws a fixed
+(B, 6) block of uniforms keyed by (pass key, depth); lanes are independent
+counters, so results are bitwise reproducible at any batch/chunk split.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.constants import (
+    FIREFLY_CLAMP,
+    MATERIAL_MIRROR,
+    RAY_EPS,
+    RR_MAX_PROB,
+    RR_START_DEPTH,
+    SAMPLING_BSDF,
+    SAMPLING_MIS,
+    THROUGHPUT_EPS,
+)
+from ..core.math_utils import (
+    PI,
+    cosine_pdf,
+    cosine_sample_hemisphere,
+    dot,
+    length,
+    power_heuristic,
+    reflect,
+)
+from ..ops.guiding import CDFPack, grid_pdf, sample_grid
+from ..ops.intersect import closest_hit
+from ..scene.mesh import Geometry
+
+
+class TraceStats(NamedTuple):
+    rays: jax.Array          # scalar: total rays traced (sum of live lanes)
+    depth_alive: jax.Array   # (max_depth,) live-lane counts per bounce
+
+
+def _sample_bsdf(sn, u, v):
+    d, _ = cosine_sample_hemisphere(sn, u, v)
+    return d, jnp.ones(sn.shape[:-1], sn.dtype)
+
+
+def _sample_pure_grid(cdfs, prim, sn, draws):
+    """Pure grid-guided sampling with the cos/(pi*pdf) reweighting and
+    firefly clamp (integrator.h:244-257)."""
+    d, pdf = sample_grid(
+        cdfs, prim, sn, draws[:, 0], draws[:, 1], draws[:, 2], draws[:, 3]
+    )
+    cos_t = jnp.maximum(dot(d, sn), 0.0)
+    w = cos_t / (PI * jnp.maximum(pdf, 1e-6))
+    return d, jnp.clip(w, 0.0, FIREFLY_CLAMP)
+
+
+def _sample_mis(cdfs, prim, sn, draws, bsdf_prob):
+    """One-sample MIS with power heuristic (integrator.h:112-166)."""
+    p_b = jnp.clip(bsdf_prob, 0.01, 0.99)
+    p_g = 1.0 - p_b
+    use_bsdf = draws[:, 5] < p_b
+
+    # BSDF branch
+    d_b, _ = cosine_sample_hemisphere(sn, draws[:, 0], draws[:, 1])
+    cos_b = jnp.maximum(dot(d_b, sn), 0.0)
+    pdf_bb = cos_b / PI
+    pdf_bg = grid_pdf(cdfs, prim, d_b, sn)
+    w_b = power_heuristic(pdf_bb, pdf_bg) / p_b
+    w_b = jnp.where(pdf_bb > 1e-6, w_b, 0.0)
+
+    # Grid branch
+    d_g, pdf_gg = sample_grid(
+        cdfs, prim, sn, draws[:, 0], draws[:, 1], draws[:, 2], draws[:, 3]
+    )
+    cos_g = jnp.maximum(dot(d_g, sn), 0.0)
+    pdf_gb = cos_g / PI
+    w_g = power_heuristic(pdf_gg, pdf_gb) * cos_g / (
+        PI * jnp.maximum(pdf_gg, 1e-30) * p_g
+    )
+    w_g = jnp.where(
+        (pdf_gg > 1e-6) & (cos_g > 0.0),
+        jnp.minimum(w_g, FIREFLY_CLAMP),
+        0.0,
+    )
+
+    d = jnp.where(use_bsdf[:, None], d_b, d_g)
+    w = jnp.where(use_bsdf, w_b, w_g)
+    return d, w
+
+
+def trace(
+    geom: Geometry,
+    origins: jax.Array,
+    directions: jax.Array,
+    key: jax.Array,
+    *,
+    max_depth: int,
+    mode: int = SAMPLING_BSDF,
+    cdfs: CDFPack | None = None,
+    mis_bsdf_fraction: float | jax.Array = 0.5,
+) -> tuple[jax.Array, TraceStats]:
+    """Trace a batch of paths to completion.
+
+    Args:
+        origins, directions: (B, 3) primary rays (directions unit length).
+        key: threefry key for this batch (already folded with chunk/sample).
+        max_depth: static path length bound (reference hardcodes 5 at its
+            call sites, integrator.h:389 — here it is honest config).
+        mode: SAMPLING_* constant (static).
+        cdfs: CDFPack, required for any mode except SAMPLING_BSDF.
+        mis_bsdf_fraction: Scene::mis_bsdf_fraction equivalent.
+
+    Returns:
+        (radiance, stats): (B, 3) per-path radiance estimates.
+    """
+    if mode != SAMPLING_BSDF and cdfs is None:
+        raise ValueError("guided sampling modes require a CDFPack")
+
+    b = origins.shape[0]
+    mis_frac = jnp.asarray(mis_bsdf_fraction, jnp.float32)
+
+    def bounce(carry, depth):
+        o, d, beta, radiance, alive = carry
+        n_alive = jnp.sum(alive)
+
+        hit = closest_hit(geom, o, d, t_min=RAY_EPS)
+        live = alive & hit.valid
+        radiance = radiance + jnp.where(
+            live[:, None], beta * hit.emission, 0.0
+        )
+
+        draws = jax.random.uniform(
+            jax.random.fold_in(key, depth), (b, 6)
+        )
+
+        # Russian roulette (integrator.h:207-212): strictly after depth 2.
+        do_rr = depth > RR_START_DEPTH
+        max_beta = jnp.max(beta, axis=-1)
+        rr_p = jnp.minimum(max_beta, RR_MAX_PROB)
+        rr_kill = do_rr & (draws[:, 4] > rr_p)
+        live = live & ~rr_kill
+        rr_div = jnp.where(do_rr & live, jnp.maximum(rr_p, 1e-12), 1.0)
+        beta = beta / rr_div[:, None]
+
+        beta = beta * hit.albedo
+        live = live & (length(beta) >= THROUGHPUT_EPS)
+
+        sn = jnp.where(
+            (dot(d, hit.n) < 0.0)[:, None], hit.n, -hit.n
+        )
+
+        if mode == SAMPLING_BSDF:
+            nd, w = _sample_bsdf(sn, draws[:, 0], draws[:, 1])
+        else:
+            g_valid = cdfs.valid[hit.prim]
+            if mode == SAMPLING_MIS:
+                nd_g, w_g = _sample_mis(cdfs, hit.prim, sn, draws, mis_frac)
+            else:
+                nd_g, w_g = _sample_pure_grid(cdfs, hit.prim, sn, draws)
+            nd_c, w_c = _sample_bsdf(sn, draws[:, 0], draws[:, 1])
+            nd = jnp.where(g_valid[:, None], nd_g, nd_c)
+            w = jnp.where(g_valid, w_g, w_c)
+
+        # Mirror lobe (additive capability): specular reflection, no pdf
+        # weighting; tint already applied via beta *= albedo.
+        is_mirror = hit.material == MATERIAL_MIRROR
+        nd = jnp.where(is_mirror[:, None], reflect(d, sn), nd)
+        w = jnp.where(is_mirror, 1.0, w)
+
+        beta = beta * w[:, None]
+        o = hit.p + sn * RAY_EPS
+        return (o, nd, beta, radiance, live), n_alive
+
+    init = (
+        origins,
+        directions,
+        jnp.ones((b, 3), jnp.float32),
+        jnp.zeros((b, 3), jnp.float32),
+        jnp.ones((b,), bool),
+    )
+    (_, _, _, radiance, _), per_depth = jax.lax.scan(
+        bounce, init, jnp.arange(max_depth)
+    )
+    stats = TraceStats(rays=jnp.sum(per_depth), depth_alive=per_depth)
+    return radiance, stats
+
+
+def trace_primary(geom: Geometry, origins, directions):
+    """Primary-hit query used by the radiosity visualization integrator
+    (render_radiosity, integrator.h:460-504) and by picking."""
+    return closest_hit(geom, origins, directions, t_min=RAY_EPS)

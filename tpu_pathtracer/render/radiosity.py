@@ -1,0 +1,426 @@
+"""Radiosity solver: form factors + progressive refinement + guiding grids.
+
+TPU-native re-design of the reference radiosity stack
+(`/root/reference/include/rendering/form_factors.h` and
+`RadiosityState::runSolver`, `application_state.h:688-777`):
+
+  * the N^2 pair loop (one CUDA thread per (i,j), 8x8 blocks) becomes
+    row-blocked batched computation: `lax.map` over row chunks with a
+    `lax.scan` over Monte-Carlo samples inside — static shapes, bounded
+    memory, no atomics (directional-grid binning is a one-hot contraction
+    instead of atomicAdd, form_factors.h:331-337);
+  * the progressive-refinement gather `incident_i = sum_j F_ij unshot_j`
+    (form_factors.h:444-455) is literally `F @ unshot` — one (N,N)x(N,3)
+    MXU matmul per iteration;
+  * per-pair curand states (seed 12345+idx) become threefry keys folded
+    with (row-chunk, sample) — reproducible and order-independent.
+
+Estimator semantics preserved exactly: centroid back-face culling, adaptive
+sample counts by approximate form factor, source/target exclusion in the
+any-hit visibility test, avg-of-valid-samples FF estimate clamped to [0,1],
+the per-channel `reflected <= incident` energy guard, and the radiosity
+history ring buffer.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, replace
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..core import rng as rng_mod
+from ..core.constants import GRID_RES, GRID_SIZE
+from ..core.math_utils import PI, dot, to_local
+from ..ops.intersect import occluded
+from ..scene.mesh import Geometry
+
+RADIOSITY_HISTORY = 10  # reference ring-buffer depth (application_state.h:47)
+
+
+# ---------------------------------------------------------------------------
+# Direction -> grid cell (full-sphere 16x16, local frame of the receiver)
+# ---------------------------------------------------------------------------
+
+
+def direction_to_cell(world_dir, normal):
+    """direction_to_grid_indices_local (form_factors.h:107-128): local
+    spherical coords of the *receiver's* frame, theta rows cover [0, pi]
+    (rows 0-7 = upper hemisphere, matching the sampler's row convention).
+
+    Returns int32 flat cell ids in [0, 256)."""
+    local = to_local(world_dir, normal)
+    lz = jnp.clip(local[..., 2], -1.0, 1.0)
+    theta = jnp.arccos(jnp.minimum(lz, 1.0))
+    phi = jnp.arctan2(local[..., 1], local[..., 0])
+    phi = jnp.where(phi < 0.0, phi + 2.0 * PI, phi)
+    gt = jnp.minimum(theta / PI * GRID_RES, GRID_RES - 1).astype(jnp.int32)
+    gp = jnp.minimum(
+        phi / (2.0 * PI) * GRID_RES, GRID_RES - 1
+    ).astype(jnp.int32)
+    gt = jnp.clip(gt, 0, GRID_RES - 1)
+    gp = jnp.clip(gp, 0, GRID_RES - 1)
+    return gt * GRID_RES + gp
+
+
+# ---------------------------------------------------------------------------
+# Uniform surface sampling of logical primitives (primitive.h:150-191)
+# ---------------------------------------------------------------------------
+
+
+def sample_uniform_on_prims(geom: Geometry, prim_idx, r1, r2):
+    """Area-uniform points on logical primitives.
+
+    Quads split into triangles (v00,v10,v01) / (v10,v11,v01) chosen by area
+    ratio with r1 remapped; triangles (stored (a,b,c,c)) always take the
+    first branch with ratio 1, reproducing triangle barycentric sampling.
+    """
+    c = geom.corners[prim_idx]                    # (..., 4, 3)
+    v00, v10, v11, v01 = c[..., 0, :], c[..., 1, :], c[..., 2, :], c[..., 3, :]
+
+    a1 = 0.5 * jnp.linalg.norm(
+        jnp.cross(v10 - v00, v01 - v00), axis=-1
+    )
+    a2 = 0.5 * jnp.linalg.norm(
+        jnp.cross(v11 - v10, v11 - v01), axis=-1
+    )
+    ratio = a1 / jnp.maximum(a1 + a2, 1e-20)
+
+    take1 = r1 < ratio
+    r1a = r1 / jnp.maximum(ratio, 1e-12)
+    r1b = (r1 - ratio) / jnp.maximum(1.0 - ratio, 1e-12)
+    r1m = jnp.where(take1, r1a, r1b)
+
+    sq = jnp.sqrt(jnp.clip(r1m, 0.0, 1.0))
+    u = 1.0 - sq
+    v = sq * (1.0 - r2)
+    w = sq * r2
+
+    p1 = v00 * u[..., None] + v10 * v[..., None] + v01 * w[..., None]
+    p2 = v10 * u[..., None] + v11 * v[..., None] + v01 * w[..., None]
+    return jnp.where(take1[..., None], p1, p2)
+
+
+# ---------------------------------------------------------------------------
+# Form factors
+# ---------------------------------------------------------------------------
+
+
+def _pair_culling(geom: Geometry, rows):
+    """Shared centroid-based early culling (form_factors.h:243-262).
+
+    Returns (dir_norm, dist, cos_i, cos_j, facing) with shapes (R, N, ...).
+    """
+    ci = geom.centroid[rows][:, None, :]          # (R, 1, 3)
+    cj = geom.centroid[None, :, :]                # (1, N, 3)
+    d = cj - ci                                   # (R, N, 3)
+    dist = jnp.linalg.norm(d, axis=-1)
+    dn = d / jnp.maximum(dist, 1e-20)[..., None]
+    ni = geom.normal[rows][:, None, :]
+    nj = geom.normal[None, :, :]
+    cos_i = dot(ni, dn)
+    cos_j = -dot(nj, dn)
+    same = rows[:, None] == jnp.arange(geom.num_prims)[None, :]
+    facing = (cos_i > 0.0) & (cos_j > 0.0) & (dist >= 1e-6) & ~same
+    return dn, dist, cos_i, cos_j, facing
+
+
+@partial(jax.jit, static_argnames=("row_chunk",))
+def analytic_form_factors(geom: Geometry, row_chunk: int = 64):
+    """Point-to-point form factors with centroid visibility
+    (calculate_form_factors_kernel, form_factors.h:354-404)."""
+    n = geom.num_prims
+    rc = min(row_chunk, n)
+    npad = ((n + rc - 1) // rc) * rc
+    row_ids = jnp.where(jnp.arange(npad) < n, jnp.arange(npad), 0)
+
+    def do_rows(rows):
+        dn, dist, cos_i, cos_j, facing = _pair_culling(geom, rows)
+        ni = geom.normal[rows][:, None, :]
+        o = (
+            geom.centroid[rows][:, None, :] + ni * 1e-4
+        ) * jnp.ones_like(dn)
+        flat = lambda x: x.reshape(-1, *x.shape[2:])
+        blocked = occluded(
+            geom,
+            flat(o),
+            flat(dn),
+            flat(dist - 2e-4),
+            exclude_a=jnp.repeat(rows, n),
+            exclude_b=jnp.tile(jnp.arange(n), rows.shape[0]),
+        ).reshape(dist.shape)
+        ff = (
+            cos_i * cos_j * geom.area[None, :] / (PI * dist * dist)
+        )
+        ff = jnp.where(facing & ~blocked, jnp.maximum(ff, 0.0), 0.0)
+        return ff
+
+    ff = jax.lax.map(do_rows, row_ids.reshape(-1, rc))
+    return ff.reshape(npad, n)[:n]
+
+
+@partial(jax.jit, static_argnames=("n_samples", "row_chunk"))
+def mc_form_factors(
+    geom: Geometry,
+    key: jax.Array,
+    n_samples: int = 64,
+    row_chunk: int = 16,
+):
+    """Monte-Carlo form factors + directional visibility-count grids
+    (calculate_form_factors_mc_kernel, form_factors.h:220-352).
+
+    Returns:
+        (ff, grid_counts, rad_grid):
+          ff (N, N) float32 — clamped [0, 1];
+          grid_counts (N, 256) — unblocked-sample counts per direction cell
+            (the reference's per-primitive `grid` payload);
+          rad_grid (N, 256, 3) — emission-weighted geometry accumulation
+            (radiosity at solver start = Le), matching form_factors.h:313-323.
+    """
+    n = geom.num_prims
+    rc = min(row_chunk, n)
+    npad = ((n + rc - 1) // rc) * rc
+    row_ids = jnp.where(jnp.arange(npad) < n, jnp.arange(npad), 0)
+    fkey = rng_mod.stream_key(key, rng_mod.STREAM_FORMFACTOR)
+
+    def do_rows(args):
+        chunk_idx, rows = args
+        dn_c, dist_c, cos_i_c, cos_j_c, facing = _pair_culling(geom, rows)
+        ni = geom.normal[rows][:, None, :]
+        nj = geom.normal[None, :, :]
+
+        # Adaptive sample count (form_factors.h:264-269).
+        approx = (
+            cos_i_c * cos_j_c * geom.area[None, :]
+            / (PI * jnp.maximum(dist_c * dist_c, 1e-12))
+        )
+        actual = jnp.where(
+            approx < 0.001,
+            max(1, n_samples // 4),
+            jnp.where(approx < 0.01, max(2, n_samples // 2), n_samples),
+        )
+        actual = jnp.where(facing, actual, 0)
+
+        ckey = jax.random.fold_in(fkey, chunk_idx)
+        rows_b = jnp.broadcast_to(rows[:, None], dist_c.shape)
+        cols_b = jnp.broadcast_to(
+            jnp.arange(n)[None, :], dist_c.shape
+        )
+
+        def one_sample(carry, s):
+            (vis, ci_sum, cj_sum, d_sum, nvalid, gcount, gradv) = carry
+            skey = jax.random.fold_in(ckey, s)
+            u = jax.random.uniform(skey, (4,) + dist_c.shape)
+            p_i = sample_uniform_on_prims(geom, rows_b, u[0], u[1])
+            p_j = sample_uniform_on_prims(geom, cols_b, u[2], u[3])
+            seg = p_j - p_i
+            r = jnp.linalg.norm(seg, axis=-1)
+            sd = seg / jnp.maximum(r, 1e-20)[..., None]
+            ct_i = dot(ni, sd)
+            ct_j = -dot(nj, sd)
+            active = (
+                (s < actual) & (r >= 1e-6) & (ct_i > 0.0) & (ct_j > 0.0)
+            )
+
+            flat = lambda x: x.reshape(-1, *x.shape[2:])
+            blocked = occluded(
+                geom,
+                flat(p_i + ni * 1e-4 * jnp.ones_like(sd)),
+                flat(sd),
+                flat(r - 2e-4),
+                exclude_a=flat(rows_b),
+                exclude_b=flat(cols_b),
+            ).reshape(r.shape)
+            ok = active & ~blocked
+
+            okf = ok.astype(jnp.float32)
+            vis += okf
+            ci_sum += jnp.where(ok, ct_i, 0.0)
+            cj_sum += jnp.where(ok, ct_j, 0.0)
+            d_sum += jnp.where(ok, r, 0.0)
+            nvalid += ok.astype(jnp.int32)
+
+            # Direction-binned accumulation onto receiver i's grid
+            # (form_factors.h:313-323): one-hot contraction over j replaces
+            # atomics; summed over columns immediately.
+            cell = direction_to_cell(sd, ni)           # (R, N)
+            onehot = jax.nn.one_hot(cell, GRID_SIZE) * okf[..., None]
+            gcount += jnp.sum(onehot, axis=1)          # (R, 256)
+            gw = ct_i * ct_j / jnp.maximum(r * r, 1e-12)
+            contrib = (
+                geom.emission[None, :, :]
+                * (gw * geom.area[None, :])[..., None]
+            )                                          # (R, N, 3)
+            gradv += jnp.einsum(
+                "rnc,rnd->rcd", onehot, jnp.where(ok[..., None], contrib, 0.0)
+            )
+            return (vis, ci_sum, cj_sum, d_sum, nvalid, gcount, gradv), None
+
+        z = jnp.zeros(dist_c.shape, jnp.float32)
+        init = (
+            z, z, z, z,
+            jnp.zeros(dist_c.shape, jnp.int32),
+            jnp.zeros((rc, GRID_SIZE), jnp.float32),
+            jnp.zeros((rc, GRID_SIZE, 3), jnp.float32),
+        )
+        (vis, ci_s, cj_s, d_s, nv, gcount, gradv), _ = jax.lax.scan(
+            one_sample, init, jnp.arange(n_samples)
+        )
+
+        nvf = jnp.maximum(nv, 1).astype(jnp.float32)
+        avg_ci = ci_s / nvf
+        avg_cj = cj_s / nvf
+        avg_d = d_s / nvf
+        vis_frac = vis / jnp.maximum(actual, 1).astype(jnp.float32)
+        ff = vis_frac * (
+            avg_ci * avg_cj * geom.area[None, :]
+        ) / (PI * jnp.maximum(avg_d * avg_d, 1e-12))
+        ff = jnp.where(nv > 0, jnp.clip(ff, 0.0, 1.0), 0.0)
+        return ff, gcount, gradv
+
+    chunk_ids = jnp.arange(npad // rc, dtype=jnp.int32)
+    ff, gcount, gradv = jax.lax.map(
+        do_rows, (chunk_ids, row_ids.reshape(-1, rc))
+    )
+    return (
+        ff.reshape(npad, n)[:n],
+        gcount.reshape(npad, GRID_SIZE)[:n],
+        gradv.reshape(npad, GRID_SIZE, 3)[:n],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Progressive refinement + grid rebinning
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def radiosity_step(geom: Geometry, ff, radiosity, unshot):
+    """One progressive-refinement iteration (radiosity_iteration_kernel,
+    form_factors.h:444-467): gather, reflect with the per-channel
+    energy clamp, accumulate."""
+    incident = jnp.dot(
+        ff, unshot, precision=jax.lax.Precision.HIGHEST
+    )
+    reflected = jnp.minimum(geom.albedo * incident, incident)
+    return radiosity + reflected, reflected
+
+
+@partial(jax.jit, static_argnames=("row_chunk",))
+def rebin_radiosity_grid(geom: Geometry, ff, radiosity, row_chunk: int = 64):
+    """Rebuild the (N, 256, 3) directional radiosity grids from the current
+    solution (update_radiosity_grid, form_factors.h:408-442): cell by the
+    centroid-to-centroid direction, contribution B_j * F_ij."""
+    n = geom.num_prims
+    rc = min(row_chunk, n)
+    npad = ((n + rc - 1) // rc) * rc
+    row_ids = jnp.where(jnp.arange(npad) < n, jnp.arange(npad), 0)
+
+    def do_rows(rows):
+        ci = geom.centroid[rows][:, None, :]
+        cj = geom.centroid[None, :, :]
+        d = cj - ci
+        dist = jnp.linalg.norm(d, axis=-1)
+        dn = d / jnp.maximum(dist, 1e-20)[..., None]
+        ni = geom.normal[rows][:, None, :]
+        same = rows[:, None] == jnp.arange(n)[None, :]
+        w = jnp.where(
+            same | (ff[rows] <= 0.0) | (dist < 1e-6), 0.0, ff[rows]
+        )
+        cell = direction_to_cell(dn, ni)
+        onehot = jax.nn.one_hot(cell, GRID_SIZE)
+        contrib = radiosity[None, :, :] * w[..., None]
+        return jnp.einsum("rnc,rnd->rcd", onehot, contrib)
+
+    out = jax.lax.map(do_rows, row_ids.reshape(-1, rc))
+    return out.reshape(npad, GRID_SIZE, 3)[:n]
+
+
+# ---------------------------------------------------------------------------
+# Solver driver
+# ---------------------------------------------------------------------------
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class RadiositySolution:
+    """Solved state — the per-primitive payload the reference keeps inline
+    in each Primitive (triangle.h:98-112), as flat arrays."""
+
+    form_factors: jax.Array   # (N, N)
+    radiosity: jax.Array      # (N, 3)
+    unshot: jax.Array         # (N, 3)
+    grid_counts: jax.Array    # (N, 256) visibility-count grid
+    rad_grid: jax.Array       # (N, 256, 3) directional radiosity grid
+    history: jax.Array        # (HISTORY, N, 3) ring buffer
+    history_index: jax.Array  # () int32 next write slot
+    history_count: jax.Array  # () int32 entries filled
+
+    def history_at(self, step: int) -> jax.Array:
+        """step=0 most recent (primitive.h:205-218)."""
+        idx = (
+            self.history_index - 1 - step
+        ) % RADIOSITY_HISTORY
+        empty = step >= self.history_count
+        return jnp.where(empty, 0.0, self.history[idx])
+
+    def history_delta(self, step1: int, step2: int) -> jax.Array:
+        return self.history_at(step1) - self.history_at(step2)
+
+
+def solve_radiosity(
+    geom: Geometry,
+    key: jax.Array | None = None,
+    *,
+    num_iterations: int = 10,
+    use_monte_carlo: bool = True,
+    mc_samples: int = 64,
+    filter_fn=None,
+    row_chunk: int = 16,
+) -> RadiositySolution:
+    """Full solver (RadiosityState::runSolver, application_state.h:688-777).
+
+    Args:
+        filter_fn: optional (N,256,3)->(N,256,3) grid filter applied each
+            iteration (the solver-loop filtering hook,
+            application_state.h:758-766).
+    """
+    if key is None:
+        key = rng_mod.base_key(12345)
+    if use_monte_carlo:
+        ff, grid_counts, rad_grid = mc_form_factors(
+            geom, key, n_samples=mc_samples, row_chunk=row_chunk
+        )
+    else:
+        ff = analytic_form_factors(geom, row_chunk=max(row_chunk, 32))
+        grid_counts = jnp.zeros((geom.num_prims, GRID_SIZE), jnp.float32)
+        rad_grid = jnp.zeros((geom.num_prims, GRID_SIZE, 3), jnp.float32)
+
+    radiosity = geom.emission
+    unshot = geom.emission
+    history = jnp.zeros(
+        (RADIOSITY_HISTORY, geom.num_prims, 3), jnp.float32
+    )
+    h_idx = 0
+    h_cnt = 0
+    for _ in range(num_iterations):
+        history = history.at[h_idx].set(radiosity)
+        h_idx = (h_idx + 1) % RADIOSITY_HISTORY
+        h_cnt = min(h_cnt + 1, RADIOSITY_HISTORY)
+
+        radiosity, unshot = radiosity_step(geom, ff, radiosity, unshot)
+        rad_grid = rebin_radiosity_grid(geom, ff, radiosity)
+        if filter_fn is not None:
+            rad_grid = filter_fn(rad_grid)
+
+    return RadiositySolution(
+        form_factors=ff,
+        radiosity=radiosity,
+        unshot=unshot,
+        grid_counts=grid_counts,
+        rad_grid=rad_grid,
+        history=history,
+        history_index=jnp.int32(h_idx),
+        history_count=jnp.int32(h_cnt),
+    )

@@ -1,0 +1,241 @@
+"""Render orchestration: jitted progressive render passes.
+
+Equivalent of the reference's per-frame driver (`renderFrame`,
+`/root/reference/include/application.h:157-216`) re-shaped for XLA: one
+jitted `render_pass` traces `spp_per_pass` samples for every pixel, chunked
+into fixed-size ray batches via `lax.map` (static shapes, bounded memory),
+and adds into the progressive film. The pixel->chunk layout, the per-
+(pass, chunk, sample, bounce) key schedule, and all estimator constants are
+deterministic, so a render is reproducible for any chunk size.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import rng
+from ..core.constants import SAMPLING_BSDF, SAMPLING_MODE_NAMES
+from ..ops.guiding import CDFPack
+from ..ops.tonemap import tonemap_radiosity
+from ..scene.mesh import Geometry
+from ..utils.logger import get_logger
+from .camera import Camera
+from .film import Film
+from .integrator import trace, trace_primary
+
+log = get_logger("Renderer")
+
+
+@dataclass(frozen=True)
+class RenderSettings:
+    """Static (compile-time) render parameters. Mirrors the reference
+    AppConfig knobs (application_state.h:262-293) that affect tracing."""
+
+    width: int = 800
+    height: int = 800
+    max_depth: int = 5           # reference hardcodes 5 (integrator.h:389)
+    sampling_mode: int = SAMPLING_BSDF
+    spp_per_pass: int = 1
+    ray_chunk: int = 1 << 16     # rays in flight per lax.map step
+
+    @property
+    def num_pixels(self) -> int:
+        return self.width * self.height
+
+
+@partial(
+    jax.jit,
+    static_argnames=("settings",),
+    donate_argnames=("film",),
+)
+def render_pass(
+    geom: Geometry,
+    cdfs: CDFPack | None,
+    camera: Camera,
+    film: Film,
+    key: jax.Array,
+    mis_bsdf_fraction: jax.Array,
+    settings: RenderSettings,
+):
+    """Trace settings.spp_per_pass samples per pixel and accumulate.
+
+    Returns (film, rays_traced).
+    """
+    s = settings
+    npix = s.num_pixels
+    chunk = min(s.ray_chunk, npix)
+    npad = ((npix + chunk - 1) // chunk) * chunk
+    pix = jnp.arange(npad, dtype=jnp.int32)
+    # Padded lanes trace pixel 0 (wasted but static-shape); their results
+    # are dropped below.
+    pix = jnp.where(pix < npix, pix, 0)
+    chunks = pix.reshape(-1, chunk)
+
+    pass_key = jax.random.fold_in(key, film.passes)
+
+    def do_chunk(args):
+        chunk_idx, ids = args
+        x = (ids % s.width).astype(jnp.float32)
+        y = (ids // s.width).astype(jnp.float32)
+        ckey = jax.random.fold_in(pass_key, chunk_idx)
+
+        def one_sample(acc, samp):
+            radiance_sum, rays = acc
+            skey = jax.random.fold_in(ckey, samp)
+            jit2 = jax.random.uniform(
+                rng.stream_key(skey, rng.STREAM_CAMERA), (chunk, 2)
+            )
+            u = (x + jit2[:, 0]) / s.width
+            v = (y + jit2[:, 1]) / s.height
+            o, d = camera.get_rays(u, v)
+            radiance, stats = trace(
+                geom,
+                o,
+                d,
+                rng.stream_key(skey, rng.STREAM_PATH),
+                max_depth=s.max_depth,
+                mode=s.sampling_mode,
+                cdfs=cdfs,
+                mis_bsdf_fraction=mis_bsdf_fraction,
+            )
+            return (radiance_sum + radiance, rays + stats.rays), None
+
+        (radiance_sum, rays), _ = jax.lax.scan(
+            one_sample,
+            (jnp.zeros((chunk, 3), jnp.float32), jnp.zeros((), jnp.int32)),
+            jnp.arange(s.spp_per_pass),
+        )
+        return radiance_sum, rays
+
+    chunk_ids = jnp.arange(chunks.shape[0], dtype=jnp.int32)
+    radiance, rays = jax.lax.map(do_chunk, (chunk_ids, chunks))
+    radiance = radiance.reshape(npad, 3)[:npix]
+    film = Film(
+        accum=film.accum + radiance.reshape(s.height, s.width, 3),
+        spp=film.spp + s.spp_per_pass,
+        passes=film.passes + 1,
+    )
+    return film, jnp.sum(rays)
+
+
+@partial(jax.jit, static_argnames=("settings",))
+def render_radiosity_view(
+    geom: Geometry,
+    radiosity: jax.Array,
+    camera: Camera,
+    key: jax.Array,
+    settings: RenderSettings,
+):
+    """Direct radiosity visualization (render_radiosity,
+    integrator.h:460-504): primary hit -> Le + B_i, sqrt gamma, u8.
+
+    Args:
+        radiosity: (N, 3) solved per-primitive radiosity.
+    Returns:
+        (H, W, 3) uint8 image (row 0 = bottom).
+    """
+    s = settings
+    npix = s.num_pixels
+    chunk = min(s.ray_chunk, npix)
+    npad = ((npix + chunk - 1) // chunk) * chunk
+    pix = jnp.arange(npad, dtype=jnp.int32)
+    pix = jnp.where(pix < npix, pix, 0)
+    chunks = pix.reshape(-1, chunk)
+
+    def do_chunk(args):
+        chunk_idx, ids = args
+        x = (ids % s.width).astype(jnp.float32)
+        y = (ids // s.width).astype(jnp.float32)
+        ckey = jax.random.fold_in(key, chunk_idx)
+
+        def one_sample(acc, samp):
+            skey = jax.random.fold_in(ckey, samp)
+            jit2 = jax.random.uniform(skey, (chunk, 2))
+            u = (x + jit2[:, 0]) / s.width
+            v = (y + jit2[:, 1]) / s.height
+            o, d = camera.get_rays(u, v)
+            hit = trace_primary(geom, o, d)
+            c = jnp.where(
+                hit.valid[:, None],
+                hit.emission + radiosity[hit.prim],
+                0.0,
+            )
+            return acc + c, None
+
+        acc, _ = jax.lax.scan(
+            one_sample,
+            jnp.zeros((chunk, 3), jnp.float32),
+            jnp.arange(s.spp_per_pass),
+        )
+        return acc / s.spp_per_pass
+
+    chunk_ids = jnp.arange(chunks.shape[0], dtype=jnp.int32)
+    color = jax.lax.map(do_chunk, (chunk_ids, chunks))
+    color = color.reshape(npad, 3)[:npix].reshape(s.height, s.width, 3)
+    return tonemap_radiosity(color)
+
+
+def pick_primitive(geom: Geometry, camera: Camera, u: float, v: float) -> int:
+    """Mouse-ray primitive picking (pick_primitive_kernel,
+    callbacks.h:22-48). Returns -1 on miss."""
+    o, d = camera.get_rays(jnp.array([u]), jnp.array([v]))
+    hit = trace_primary(geom, o, d)
+    return int(np.where(np.asarray(hit.valid)[0], np.asarray(hit.prim)[0], -1))
+
+
+class ProgressiveRenderer:
+    """Host-side progressive render loop with throughput accounting."""
+
+    def __init__(
+        self,
+        geom: Geometry,
+        camera: Camera,
+        settings: RenderSettings,
+        cdfs: CDFPack | None = None,
+        mis_bsdf_fraction: float = 0.5,
+        seed: int = 2023,
+    ):
+        self.geom = geom
+        self.camera = camera
+        self.settings = settings
+        self.cdfs = cdfs
+        self.mis_bsdf_fraction = jnp.float32(mis_bsdf_fraction)
+        self.key = rng.base_key(seed)
+        self.film = Film.create(settings.width, settings.height)
+        self.total_rays = 0
+        self.render_seconds = 0.0
+
+    def step(self) -> Film:
+        """One render pass (spp_per_pass samples/pixel)."""
+        t0 = time.perf_counter()
+        self.film, rays = render_pass(
+            self.geom,
+            self.cdfs,
+            self.camera,
+            self.film,
+            self.key,
+            self.mis_bsdf_fraction,
+            self.settings,
+        )
+        jax.block_until_ready(self.film.accum)
+        dt = time.perf_counter() - t0
+        self.render_seconds += dt
+        self.total_rays += int(rays)
+        return self.film
+
+    def render(self, total_spp: int) -> Film:
+        done = int(self.film.spp)
+        while done < total_spp:
+            self.step()
+            done = int(self.film.spp)
+        return self.film
+
+    @property
+    def mrays_per_sec(self) -> float:
+        return self.total_rays / 1e6 / max(self.render_seconds, 1e-12)
