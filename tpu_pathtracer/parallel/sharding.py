@@ -1,0 +1,236 @@
+"""Multi-chip rendering: shard_map image-tile partitioning over a Mesh.
+
+The reference is strictly single-GPU (SURVEY.md §2 parallelism checklist:
+no NCCL/MPI, no multi-device anything); this module is the TPU-native
+scale-out path it lacks, and implements BASELINE.json config #5 (8-chip
+tiled render). Design per the scaling-book recipe:
+
+  * mesh: 1-D `Mesh(devices, ("tile",))`; the film's image rows are the
+    sharded axis; scene/CDF/camera pytrees are replicated (small);
+  * each device renders its own row band with the SAME jitted render pass
+    used single-chip, with the band's view-plane slice substituted into
+    the camera and the tile index folded into its RNG stream (bands are
+    statistically independent; the estimator is unchanged);
+  * collectives: `psum` of the ray counter over ICI; the film stays
+    device-sharded — only PNG export gathers it to host.
+
+Radiosity scale-out: `mc_form_factors_sharded` splits the O(N^2) form-
+factor matrix by receiver rows over the mesh — the memory/scale pain point
+called out in SURVEY.md §5 — and the refinement matmuls run replicated.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core import rng
+from ..ops.guiding import CDFPack
+from ..render.camera import Camera
+from ..render.film import Film
+from ..render.renderer import RenderSettings, render_pass
+from ..scene.mesh import Geometry
+
+
+def make_mesh(n_devices: int | None = None) -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.asarray(devs), ("tile",))
+
+
+def _pad_rows(height: int, n: int) -> int:
+    return ((height + n - 1) // n) * n
+
+
+@partial(
+    jax.jit,
+    static_argnames=("settings", "mesh", "n_tiles"),
+    donate_argnames=("film",),
+)
+def render_pass_tiled(
+    geom: Geometry,
+    cdfs: CDFPack | None,
+    camera: Camera,
+    film: Film,
+    key: jax.Array,
+    mis_bsdf_fraction: jax.Array,
+    settings: RenderSettings,
+    mesh: Mesh,
+    n_tiles: int,
+):
+    """One progressive pass with the film row-sharded over the mesh.
+
+    `settings` describes the FULL image; each device runs the single-chip
+    `render_pass` on a height/n_tiles row band. Padded rows (when height
+    is not divisible) render throwaway rays and are cropped on gather.
+    """
+    s = settings
+    hpad = _pad_rows(s.height, n_tiles)
+    band = hpad // n_tiles
+    band_settings = RenderSettings(
+        width=s.width,
+        height=band,
+        max_depth=s.max_depth,
+        sampling_mode=s.sampling_mode,
+        spp_per_pass=s.spp_per_pass,
+        ray_chunk=min(s.ray_chunk, band * s.width),
+    )
+
+    def tile_body(film_band, key_rep):
+        tile = jax.lax.axis_index("tile")
+        y0 = (tile * band).astype(jnp.float32)
+        # Band view-plane: inner v = (y + jit)/band must map to full-image
+        # v' = (y0 + y + jit)/height, i.e. shift the lower-left corner by
+        # (y0/height) * vertical and scale vertical by band/height.
+        cam_band = Camera(
+            origin=camera.origin,
+            lower_left_corner=camera.lower_left_corner
+            + camera.vertical * (y0 / s.height),
+            horizontal=camera.horizontal,
+            vertical=camera.vertical * (band / s.height),
+        )
+        band_key = jax.random.fold_in(key_rep, tile)
+        new_film, rays = render_pass(
+            geom, cdfs, cam_band, film_band, band_key,
+            mis_bsdf_fraction, band_settings,
+        )
+        return new_film, jax.lax.psum(rays, "tile")
+
+    body = shard_map(
+        tile_body,
+        mesh=mesh,
+        in_specs=(
+            Film(accum=P("tile"), spp=P(), passes=P()),
+            P(),
+        ),
+        out_specs=(
+            Film(accum=P("tile"), spp=P(), passes=P()),
+            P(),
+        ),
+        check_vma=False,
+    )
+    return body(film, key)
+
+
+class TiledRenderer:
+    """Multi-chip progressive renderer (drop-in for ProgressiveRenderer)."""
+
+    def __init__(
+        self,
+        geom: Geometry,
+        camera: Camera,
+        settings: RenderSettings,
+        cdfs: CDFPack | None = None,
+        mis_bsdf_fraction: float = 0.5,
+        seed: int = 2023,
+        n_tiles: int | None = None,
+    ):
+        self.mesh = make_mesh(n_tiles)
+        self.n_tiles = int(self.mesh.devices.size)
+        self.geom = geom
+        self.camera = camera
+        self.settings = settings
+        self.cdfs = cdfs
+        self.mis_bsdf_fraction = jnp.float32(mis_bsdf_fraction)
+        self.key = rng.base_key(seed)
+        hpad = _pad_rows(settings.height, self.n_tiles)
+        sharding = NamedSharding(self.mesh, P("tile"))
+        self.film = Film(
+            accum=jax.device_put(
+                jnp.zeros((hpad, settings.width, 3), jnp.float32), sharding
+            ),
+            spp=jnp.zeros((), jnp.int32),
+            passes=jnp.zeros((), jnp.int32),
+        )
+        self.total_rays = 0
+
+    def step(self) -> None:
+        self.film, rays = render_pass_tiled(
+            self.geom,
+            self.cdfs,
+            self.camera,
+            self.film,
+            self.key,
+            self.mis_bsdf_fraction,
+            self.settings,
+            self.mesh,
+            self.n_tiles,
+        )
+        jax.block_until_ready(self.film.accum)
+        self.total_rays += int(rays)
+
+    def render(self, total_spp: int) -> Film:
+        while int(self.film.spp) < total_spp:
+            self.step()
+        return self.film
+
+    def gather_film(self) -> Film:
+        """Fetch + crop the sharded film for export."""
+        accum = np.asarray(self.film.accum)[: self.settings.height]
+        return Film(
+            accum=jnp.asarray(accum),
+            spp=self.film.spp,
+            passes=self.film.passes,
+        )
+
+
+# ---------------------------------------------------------------------------
+# Sharded radiosity form factors: receiver rows across the mesh
+# ---------------------------------------------------------------------------
+
+
+def mc_form_factors_sharded(
+    geom: Geometry,
+    key: jax.Array,
+    *,
+    mesh: Mesh | None = None,
+    n_samples: int = 64,
+    row_chunk: int = 16,
+):
+    """(N, N) MC form factors with receiver rows sharded over the mesh.
+
+    Each device computes rows [tile*band, (tile+1)*band) with
+    `mc_form_factors_rows` (scene replicated — visibility needs the whole
+    scene anyway) and the results concatenate along the sharded axis.
+    Returns the same (ff, grid_counts, rad_grid) as mc_form_factors.
+    """
+    from ..render.radiosity import mc_form_factors_rows
+
+    if mesh is None:
+        mesh = make_mesh()
+    n_dev = int(mesh.devices.size)
+    n = geom.num_prims
+    rc = min(row_chunk, max(1, n // n_dev))
+    band = ((n + n_dev - 1) // n_dev + rc - 1) // rc * rc
+    npad = band * n_dev
+    row_ids = jnp.where(jnp.arange(npad) < n, jnp.arange(npad), 0)
+    row_ids = jax.device_put(
+        row_ids, NamedSharding(mesh, P("tile"))
+    )
+
+    def body(rows_band, key_rep):
+        tile = jax.lax.axis_index("tile")
+        return mc_form_factors_rows(
+            geom,
+            jax.random.fold_in(key_rep, tile),
+            rows_band,
+            n_samples=n_samples,
+            row_chunk=rc,
+        )
+
+    ff, gc, gv = jax.jit(
+        shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(P("tile"), P()),
+            out_specs=(P("tile"), P("tile"), P("tile")),
+            check_vma=False,
+        )
+    )(row_ids, key)
+    return ff[:n], gc[:n], gv[:n]

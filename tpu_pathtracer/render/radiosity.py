@@ -161,27 +161,24 @@ def analytic_form_factors(geom: Geometry, row_chunk: int = 64):
 
 
 @partial(jax.jit, static_argnames=("n_samples", "row_chunk"))
-def mc_form_factors(
+def mc_form_factors_rows(
     geom: Geometry,
     key: jax.Array,
+    row_ids: jax.Array,
     n_samples: int = 64,
     row_chunk: int = 16,
 ):
-    """Monte-Carlo form factors + directional visibility-count grids
-    (calculate_form_factors_mc_kernel, form_factors.h:220-352).
+    """Monte-Carlo form factors for an explicit set of receiver rows —
+    the building block for both the single-chip solve and the shard_map
+    row-parallel solve (each device computes its own receiver band).
 
+    Args:
+        row_ids: (R,) int32 receiver primitive ids, R % row_chunk == 0.
     Returns:
-        (ff, grid_counts, rad_grid):
-          ff (N, N) float32 — clamped [0, 1];
-          grid_counts (N, 256) — unblocked-sample counts per direction cell
-            (the reference's per-primitive `grid` payload);
-          rad_grid (N, 256, 3) — emission-weighted geometry accumulation
-            (radiosity at solver start = Le), matching form_factors.h:313-323.
+        (ff, grid_counts, rad_grid) with leading dimension R.
     """
+    rc = min(row_chunk, row_ids.shape[0])
     n = geom.num_prims
-    rc = min(row_chunk, n)
-    npad = ((n + rc - 1) // rc) * rc
-    row_ids = jnp.where(jnp.arange(npad) < n, jnp.arange(npad), 0)
     fkey = rng_mod.stream_key(key, rng_mod.STREAM_FORMFACTOR)
 
     def do_rows(args):
@@ -279,15 +276,43 @@ def mc_form_factors(
         ff = jnp.where(nv > 0, jnp.clip(ff, 0.0, 1.0), 0.0)
         return ff, gcount, gradv
 
-    chunk_ids = jnp.arange(npad // rc, dtype=jnp.int32)
+    r_total = row_ids.shape[0]
+    chunk_ids = jnp.arange(r_total // rc, dtype=jnp.int32)
     ff, gcount, gradv = jax.lax.map(
         do_rows, (chunk_ids, row_ids.reshape(-1, rc))
     )
     return (
-        ff.reshape(npad, n)[:n],
-        gcount.reshape(npad, GRID_SIZE)[:n],
-        gradv.reshape(npad, GRID_SIZE, 3)[:n],
+        ff.reshape(r_total, n),
+        gcount.reshape(r_total, GRID_SIZE),
+        gradv.reshape(r_total, GRID_SIZE, 3),
     )
+
+
+def mc_form_factors(
+    geom: Geometry,
+    key: jax.Array,
+    n_samples: int = 64,
+    row_chunk: int = 16,
+):
+    """Full (N, N) Monte-Carlo form factors + guiding grids
+    (calculate_form_factors_mc_kernel, form_factors.h:220-352).
+
+    Returns:
+        (ff, grid_counts, rad_grid):
+          ff (N, N) float32 — clamped [0, 1];
+          grid_counts (N, 256) — unblocked-sample counts per direction cell
+            (the reference's per-primitive `grid` payload);
+          rad_grid (N, 256, 3) — emission-weighted geometry accumulation
+            (radiosity at solver start = Le), form_factors.h:313-323.
+    """
+    n = geom.num_prims
+    rc = min(row_chunk, n)
+    npad = ((n + rc - 1) // rc) * rc
+    row_ids = jnp.where(jnp.arange(npad) < n, jnp.arange(npad), 0)
+    ff, gc, gv = mc_form_factors_rows(
+        geom, key, row_ids, n_samples=n_samples, row_chunk=rc
+    )
+    return ff[:n], gc[:n], gv[:n]
 
 
 # ---------------------------------------------------------------------------

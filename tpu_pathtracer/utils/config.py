@@ -1,0 +1,116 @@
+"""Render configuration — one typed object for every knob.
+
+Parity with the reference's three config tiers (SURVEY.md §5): compile-time
+#defines, AppConfig startup defaults (application_state.h:262-293), and
+ImGui-only runtime mutation become a single dataclass with CLI flags (the
+reference ignores argv entirely, src/main.cu:63 — the CLI is an additive
+capability). Defaults mirror AppConfig: spp=1, fov=40, camera
+(0.5,3,8.5)->(0,2.5,0), mode=bsdf, mis_fraction=0.5, sigmas 1.5/0.3,
+radiosity 10 iterations x 64 MC samples. Exceptions are deliberate,
+documented divergences: max_depth defaults to 5 but is honest config (the
+reference hardcodes 5 at call sites, integrator.h:389), and the MIS mode is
+actually reachable (the reference UI maps its "MIS" combo to RADIOSITY,
+ui_windows.h:115-119).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+
+from ..core.constants import SAMPLING_MODE_NAMES
+
+
+@dataclass
+class Config:
+    # Scene
+    scene: str = "cbox_quads"        # builtin name or .obj/.pbrt path
+    subdivision: int = 0             # 4-way loop subdivision levels
+    convert_quads: bool = False      # quad -> 2 triangles at load
+    mirror_tall_box: bool = False    # builtin cbox: mirror material demo
+
+    # Film / camera
+    width: int = 800
+    height: int = 800
+    fov: float = 40.0
+    camera_origin: tuple = (0.5, 3.0, 8.5)
+    look_at: tuple = (0.0, 2.5, 0.0)
+    up: tuple = (0.0, 1.0, 0.0)
+
+    # Path tracing
+    spp: int = 1
+    spp_per_pass: int = 0            # 0 = auto
+    max_depth: int = 5
+    sampling_mode: str = "bsdf"      # bsdf|formfactor|radiosity|mis|topk
+    mis_bsdf_fraction: float = 0.5
+    top_k: int = 0                   # topk mode: cells kept per primitive
+    integrator: str = "pt"           # pt | radiosity (viz)
+
+    # Radiosity solver
+    radiosity_iterations: int = 10
+    use_monte_carlo: bool = True
+    mc_samples: int = 64
+
+    # Grid filtering
+    enable_grid_filtering: bool = False   # filter inside the solver loop
+    use_bilateral: bool = True
+    sigma_spatial: float = 1.5
+    sigma_range: float = 0.3
+    cdf_source: str = "radiosity"    # radiosity | formfactor |
+    #                                  filtered_radiosity | filtered_formfactor
+
+    # Execution
+    seed: int = 2023
+    ray_chunk: int = 1 << 16
+    num_tiles: int = 0               # >1: shard_map multi-chip tiling
+
+    @property
+    def sampling_mode_id(self) -> int:
+        try:
+            return SAMPLING_MODE_NAMES[self.sampling_mode]
+        except KeyError:
+            raise ValueError(
+                f"unknown sampling mode '{self.sampling_mode}'; "
+                f"expected one of {sorted(SAMPLING_MODE_NAMES)}"
+            ) from None
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2)
+
+    @staticmethod
+    def from_json(text: str) -> "Config":
+        return Config(**json.loads(text))
+
+    @staticmethod
+    def add_cli_args(parser) -> None:
+        """Register every field as a --flag on an argparse parser."""
+        for f in dataclasses.fields(Config):
+            name = "--" + f.name.replace("_", "-")
+            default = f.default
+            if f.type == "bool" or isinstance(default, bool):
+                parser.add_argument(
+                    name,
+                    action=(
+                        "store_true" if not default else "store_false"
+                    ),
+                    dest=f.name,
+                    default=default,
+                )
+            elif isinstance(default, tuple):
+                parser.add_argument(
+                    name, type=float, nargs=3, default=default, dest=f.name
+                )
+            else:
+                parser.add_argument(
+                    name, type=type(default), default=default, dest=f.name
+                )
+
+    @staticmethod
+    def from_cli_args(args) -> "Config":
+        kw = {
+            f.name: getattr(args, f.name) for f in dataclasses.fields(Config)
+        }
+        for k in ("camera_origin", "look_at", "up"):
+            kw[k] = tuple(kw[k])
+        return Config(**kw)
