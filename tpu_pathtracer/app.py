@@ -27,6 +27,7 @@ import numpy as np
 
 from .core import rng
 from .core.constants import SAMPLING_BSDF, SAMPLING_FORMFACTOR, SAMPLING_TOPK
+from .ops.bvh import build_bvh
 from .ops.filters import filter_pdfs
 from .ops.guiding import CDFPack, build_cdfs, top_k_mask
 from .core.math_utils import luminance
@@ -68,9 +69,23 @@ def load_prims(cfg: Config) -> PrimList:
         if ext == ".obj":
             prims = load_obj(cfg.scene)
         elif ext == ".pbrt":
-            from .scene.pbrt_loader import load_pbrt
+            from .scene.pbrt_loader import parse_pbrt
 
-            prims = load_pbrt(cfg.scene)
+            scene = parse_pbrt(cfg.scene)
+            prims = scene.prims
+            # Adopt the .pbrt camera when the user left ours at defaults
+            # (additive: the reference discards the pbrt camera).
+            default = Config()
+            if scene.camera_lookat and (
+                cfg.camera_origin == default.camera_origin
+                and cfg.look_at == default.look_at
+            ):
+                eye, tgt, up = scene.camera_lookat
+                cfg.camera_origin = tuple(eye)
+                cfg.look_at = tuple(tgt)
+                cfg.up = tuple(up)
+                if scene.camera_fov:
+                    cfg.fov = scene.camera_fov
         else:
             raise ValueError(
                 f"unsupported scene format '{ext}' "
@@ -95,6 +110,7 @@ class App:
         self.profiler = Profiler()
         self.prims: PrimList | None = None
         self.geom: Geometry | None = None
+        self.bvh = None
         self.solution: RadiositySolution | None = None
         self.cdfs: CDFPack | None = None
         self.filtered_formfactor = None   # (N, 256) filtered float PDFs
@@ -113,6 +129,24 @@ class App:
             "Scene '%s': %d primitives, %d triangles",
             cfg.scene, self.geom.num_prims, self.geom.num_tris,
         )
+        # Accel backend selection (RayTracingManager parity,
+        # ray_tracing_backend.h:50-76): brute force wins below ~2k
+        # triangles on TPU; BVH beyond.
+        use_bvh = cfg.use_bvh == "on" or (
+            cfg.use_bvh == "auto" and self.geom.num_tris > 2048
+        )
+        if use_bvh:
+            import time as _t
+
+            t0 = _t.perf_counter()
+            self.bvh = build_bvh(self.geom)
+            log.info(
+                "BVH built: %d nodes in %.1f ms (backend: bvh)",
+                self.bvh.num_nodes, (_t.perf_counter() - t0) * 1e3,
+            )
+        else:
+            self.bvh = None
+            log.info("Backend: brute-force (%d tris)", self.geom.num_tris)
         self.camera_ctrl = CameraController(
             lookfrom=np.array(cfg.camera_origin, np.float32),
             lookat=np.array(cfg.look_at, np.float32),
@@ -263,6 +297,7 @@ class App:
                 cdfs=self.cdfs,
                 mis_bsdf_fraction=cfg.mis_bsdf_fraction,
                 seed=cfg.seed,
+                bvh=self.bvh,
             )
         return self._renderer
 

@@ -51,6 +51,7 @@ from ..core.math_utils import (
     power_heuristic,
     reflect,
 )
+from ..ops.bvh import BVH, bvh_closest_hit
 from ..ops.guiding import CDFPack, grid_pdf, sample_grid
 from ..ops.intersect import closest_hit
 from ..scene.mesh import Geometry
@@ -121,6 +122,7 @@ def trace(
     mode: int = SAMPLING_BSDF,
     cdfs: CDFPack | None = None,
     mis_bsdf_fraction: float | jax.Array = 0.5,
+    bvh: BVH | None = None,
 ) -> tuple[jax.Array, TraceStats]:
     """Trace a batch of paths to completion.
 
@@ -132,6 +134,10 @@ def trace(
         mode: SAMPLING_* constant (static).
         cdfs: CDFPack, required for any mode except SAMPLING_BSDF.
         mis_bsdf_fraction: Scene::mis_bsdf_fraction equivalent.
+        bvh: optional acceleration structure; when given, intersection
+            runs the lockstep BVH traversal instead of the all-pairs
+            brute force (the RayTracingManager backend switch,
+            ray_tracing_backend.h:50-76).
 
     Returns:
         (radiance, stats): (B, 3) per-path radiance estimates.
@@ -146,7 +152,10 @@ def trace(
         o, d, beta, radiance, alive = carry
         n_alive = jnp.sum(alive)
 
-        hit = closest_hit(geom, o, d, t_min=RAY_EPS)
+        if bvh is not None:
+            hit = bvh_closest_hit(geom, bvh, o, d, t_min=RAY_EPS)
+        else:
+            hit = closest_hit(geom, o, d, t_min=RAY_EPS)
         live = alive & hit.valid
         radiance = radiance + jnp.where(
             live[:, None], beta * hit.emission, 0.0

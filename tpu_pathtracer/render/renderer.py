@@ -62,6 +62,7 @@ def render_pass(
     key: jax.Array,
     mis_bsdf_fraction: jax.Array,
     settings: RenderSettings,
+    bvh=None,
 ):
     """Trace settings.spp_per_pass samples per pixel and accumulate.
 
@@ -103,6 +104,7 @@ def render_pass(
                 mode=s.sampling_mode,
                 cdfs=cdfs,
                 mis_bsdf_fraction=mis_bsdf_fraction,
+                bvh=bvh,
             )
             return (radiance_sum + radiance, rays + stats.rays), None
 
@@ -200,8 +202,10 @@ class ProgressiveRenderer:
         cdfs: CDFPack | None = None,
         mis_bsdf_fraction: float = 0.5,
         seed: int = 2023,
+        bvh=None,
     ):
         self.geom = geom
+        self.bvh = bvh
         self.camera = camera
         self.settings = settings
         self.cdfs = cdfs
@@ -222,6 +226,7 @@ class ProgressiveRenderer:
             self.key,
             self.mis_bsdf_fraction,
             self.settings,
+            self.bvh,
         )
         jax.block_until_ready(self.film.accum)
         dt = time.perf_counter() - t0

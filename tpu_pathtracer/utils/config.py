@@ -61,6 +61,7 @@ class Config:
     #                                  filtered_radiosity | filtered_formfactor
 
     # Execution
+    use_bvh: str = "auto"            # auto | on | off (accel backend)
     seed: int = 2023
     ray_chunk: int = 1 << 16
     num_tiles: int = 0               # >1: shard_map multi-chip tiling
