@@ -24,14 +24,24 @@ def main():
     depth = 5
     geom = cornell_box("quads").build()
     cam = CameraController.default().build()
+    from tpu_pathtracer.ops.intersect_pallas import (
+        pack_attributes,
+        pack_triangles,
+    )
+
     settings = RenderSettings(
         width=width,
         height=height,
         max_depth=depth,
-        spp_per_pass=4,
-        ray_chunk=1 << 18,
+        spp_per_pass=16,
+        ray_chunk=1 << 16,
+        wavefront=True,
     )
-    r = ProgressiveRenderer(geom, cam, settings)
+    r = ProgressiveRenderer(
+        geom, cam, settings,
+        tri_pack=pack_triangles(geom),
+        attr_pack=pack_attributes(geom),
+    )
 
     # Warmup (compile + first pass)
     r.step()

@@ -164,3 +164,61 @@ class TestMirror:
         np.testing.assert_allclose(
             np.asarray(radiance)[0], [4.5, 4.5, 4.5], rtol=1e-5
         )
+
+
+class TestWavefront:
+    def test_furnace_matches_analytic(self):
+        """The same-pixel-respawn wavefront integrator is an unbiased
+        estimator of the same integral as the scan integrator."""
+        from tpu_pathtracer.render.camera import CameraController
+        from tpu_pathtracer.render.integrator import trace_wavefront
+
+        geom = closed_cube(0.5, 0.5).build()
+        cam = CameraController(
+            lookfrom=np.zeros(3) + 1e-3,
+            lookat=np.array([0.0, 0.0, -1.0]),
+            vup=np.array([0.0, 1.0, 0.0]),
+            vfov=60.0,
+            aspect=1.0,
+        ).build()
+        n = 1 << 12
+        x = jnp.arange(n, dtype=jnp.float32) % 64
+        y = jnp.arange(n, dtype=jnp.float32) // 64
+        total, rays, iters = trace_wavefront(
+            geom, cam, x, y, rng_mod.base_key(9),
+            width=64, height=64, spp=8, max_depth=4,
+            mode=SAMPLING_BSDF,
+        )
+        mean = float(jnp.mean(total / 8.0))
+        assert mean == pytest.approx(furnace_expected(0.5, 0.5, 4), rel=0.02)
+        assert int(rays) > 0
+        # occupancy: iterations should be well under spp * max_depth
+        # (every path in the closed cube runs full depth -> equality here)
+        assert int(iters) <= 8 * 4 + 4
+
+    def test_respawn_quota_exact(self):
+        """Every lane must complete exactly `spp` samples: radiance sums
+        scale linearly with spp."""
+        from tpu_pathtracer.render.camera import CameraController
+        from tpu_pathtracer.render.integrator import trace_wavefront
+
+        geom = closed_cube(0.0, 1.0).build()  # pure emission, depth 1
+        cam = CameraController(
+            lookfrom=np.zeros(3) + 1e-3,
+            lookat=np.array([0.0, 0.0, -1.0]),
+            vup=np.array([0.0, 1.0, 0.0]),
+            vfov=60.0,
+            aspect=1.0,
+        ).build()
+        n = 256
+        x = jnp.arange(n, dtype=jnp.float32) % 16
+        y = jnp.arange(n, dtype=jnp.float32) // 16
+        for spp in (1, 4):
+            total, _, _ = trace_wavefront(
+                geom, cam, x, y, rng_mod.base_key(1),
+                width=16, height=16, spp=spp, max_depth=1,
+                mode=SAMPLING_BSDF,
+            )
+            np.testing.assert_allclose(
+                np.asarray(total), spp * 1.0, rtol=1e-5
+            )

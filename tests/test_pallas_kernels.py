@@ -1,0 +1,99 @@
+"""Pallas intersector kernels, run in interpreter mode on CPU: must match
+the (oracle-tested) XLA brute-force intersector exactly."""
+
+import jax
+import jax.experimental.pallas as pl
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import tpu_pathtracer.ops.intersect_pallas as ip
+from tpu_pathtracer.ops.intersect import closest_hit
+from tpu_pathtracer.scene.builtin import cornell_box
+from tpu_pathtracer.scene.mesh import subdivide
+from tpu_pathtracer.render.camera import CameraController
+
+
+@pytest.fixture(autouse=True)
+def interpret_mode(monkeypatch):
+    orig = pl.pallas_call
+
+    def patched(*a, **k):
+        k["interpret"] = True
+        return orig(*a, **k)
+
+    monkeypatch.setattr(ip.pl, "pallas_call", patched)
+
+
+def rays(n, seed=0):
+    cam = CameraController.default().build()
+    u = jax.random.uniform(jax.random.key(seed), (2, n))
+    return cam.get_rays(u[0], u[1])
+
+
+class TestClosest:
+    def test_matches_bruteforce(self):
+        geom = cornell_box("quads").build()
+        o, d = rays(1024)
+        tp = ip.pack_triangles(geom)
+        t, idx = ip.pallas_closest_tuv(tp, o, d)
+        ref = closest_hit(geom, o, d)
+        m = np.asarray(ref.valid)
+        assert (np.isfinite(np.asarray(t)) == m).all()
+        np.testing.assert_allclose(
+            np.asarray(t)[m], np.asarray(ref.t)[m], rtol=1e-5
+        )
+
+    def test_multi_chunk_triangles(self):
+        """> 128 triangles exercises the chunk loop."""
+        geom = subdivide(cornell_box("quads"), 2).build()  # 512 tris
+        o, d = rays(1024, seed=3)
+        tp = ip.pack_triangles(geom)
+        ap = ip.pack_attributes(geom)
+        hit = ip.pallas_closest_hit(geom, tp, o, d, attr_pack=ap)
+        ref = closest_hit(geom, o, d)
+        m = np.asarray(ref.valid)
+        assert (np.asarray(hit.valid) == m).all()
+        np.testing.assert_allclose(
+            np.asarray(hit.t)[m], np.asarray(ref.t)[m], rtol=1e-5
+        )
+        np.testing.assert_array_equal(
+            np.asarray(hit.prim)[m], np.asarray(ref.prim)[m]
+        )
+
+    def test_attributes_exact(self):
+        geom = cornell_box("quads", mirror_tall_box=True).build()
+        o, d = rays(1024, seed=1)
+        tp = ip.pack_triangles(geom)
+        ap = ip.pack_attributes(geom)
+        hit = ip.pallas_closest_hit(geom, tp, o, d, attr_pack=ap)
+        ref = closest_hit(geom, o, d)
+        m = np.asarray(ref.valid)
+        for field in ("n", "albedo", "emission"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(hit, field))[m],
+                np.asarray(getattr(ref, field))[m],
+                err_msg=field,
+            )
+        np.testing.assert_array_equal(
+            np.asarray(hit.material)[m], np.asarray(ref.material)[m]
+        )
+
+    def test_t_min(self):
+        geom = cornell_box("quads").build()
+        # ray resting on the floor pointing up: t_min must skip the floor
+        o = jnp.broadcast_to(jnp.array([0.0, 0.0, -2.75]), (1024, 3))
+        d = jnp.broadcast_to(jnp.array([0.0, 1.0, 0.0]), (1024, 3))
+        tp = ip.pack_triangles(geom)
+        t, _ = ip.pallas_closest_tuv(tp, o, d, t_min=1e-4)
+        assert float(t[0]) > 1.0  # hits the light, not the floor
+
+    def test_miss_lanes(self):
+        geom = cornell_box("quads").build()
+        o = jnp.broadcast_to(jnp.array([0.0, 2.5, 20.0]), (1024, 3))
+        d = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), (1024, 3))
+        tp = ip.pack_triangles(geom)
+        ap = ip.pack_attributes(geom)
+        hit = ip.pallas_closest_hit(geom, tp, o, d, attr_pack=ap)
+        assert not bool(hit.valid.any())
+        assert float(jnp.sum(hit.emission)) == 0.0

@@ -111,6 +111,8 @@ class App:
         self.prims: PrimList | None = None
         self.geom: Geometry | None = None
         self.bvh = None
+        self.tri_pack = None
+        self.attr_pack = None
         self.solution: RadiositySolution | None = None
         self.cdfs: CDFPack | None = None
         self.filtered_formfactor = None   # (N, 256) filtered float PDFs
@@ -129,24 +131,7 @@ class App:
             "Scene '%s': %d primitives, %d triangles",
             cfg.scene, self.geom.num_prims, self.geom.num_tris,
         )
-        # Accel backend selection (RayTracingManager parity,
-        # ray_tracing_backend.h:50-76): brute force wins below ~2k
-        # triangles on TPU; BVH beyond.
-        use_bvh = cfg.use_bvh == "on" or (
-            cfg.use_bvh == "auto" and self.geom.num_tris > 2048
-        )
-        if use_bvh:
-            import time as _t
-
-            t0 = _t.perf_counter()
-            self.bvh = build_bvh(self.geom)
-            log.info(
-                "BVH built: %d nodes in %.1f ms (backend: bvh)",
-                self.bvh.num_nodes, (_t.perf_counter() - t0) * 1e3,
-            )
-        else:
-            self.bvh = None
-            log.info("Backend: brute-force (%d tris)", self.geom.num_tris)
+        self._select_backend()
         self.camera_ctrl = CameraController(
             lookfrom=np.array(cfg.camera_origin, np.float32),
             lookat=np.array(cfg.look_at, np.float32),
@@ -158,6 +143,50 @@ class App:
         self.cdfs = None
         self._renderer = None
         return self.geom
+
+    def _select_backend(self) -> None:
+        """Accel backend selection (RayTracingManager parity,
+        ray_tracing_backend.h:50-76): on TPU the Pallas VMEM-resident
+        kernel is fastest up to ~16k triangles; beyond that the BVH wins;
+        on CPU (tests) Pallas has no compiled path, so brute force covers
+        small scenes."""
+        import jax as _jax
+
+        cfg = self.config
+        self.bvh = None
+        self.tri_pack = None
+        self.attr_pack = None
+        backend = cfg.backend
+        if backend == "auto":
+            on_tpu = _jax.default_backend() == "tpu"
+            if self.geom.num_tris > 16384:
+                backend = "bvh"
+            elif on_tpu:
+                backend = "pallas"
+            elif self.geom.num_tris > 2048:
+                backend = "bvh"
+            else:
+                backend = "brute"
+        if backend == "bvh":
+            t0 = time.perf_counter()
+            self.bvh = build_bvh(self.geom)
+            log.info(
+                "BVH built: %d nodes in %.1f ms (backend: bvh)",
+                self.bvh.num_nodes, (time.perf_counter() - t0) * 1e3,
+            )
+        elif backend == "pallas":
+            from .ops.intersect_pallas import pack_attributes, pack_triangles
+
+            self.tri_pack = pack_triangles(self.geom)
+            self.attr_pack = pack_attributes(self.geom)
+            log.info(
+                "Backend: pallas kernel (%d tris -> %s pack)",
+                self.geom.num_tris, tuple(self.tri_pack.shape),
+            )
+        else:
+            log.info(
+                "Backend: brute-force (%d tris)", self.geom.num_tris
+            )
 
     # ---------------- radiosity ----------------
 
@@ -298,6 +327,8 @@ class App:
                 mis_bsdf_fraction=cfg.mis_bsdf_fraction,
                 seed=cfg.seed,
                 bvh=self.bvh,
+                tri_pack=self.tri_pack,
+                attr_pack=self.attr_pack,
             )
         return self._renderer
 

@@ -72,8 +72,11 @@ def _morton3(x: np.ndarray) -> np.ndarray:
     )
 
 
-def build_bvh(geom: Geometry) -> BVH:
-    """Host-side build over the canonical triangle list."""
+def build_bvh(geom: Geometry, prefer_native: bool = True) -> BVH:
+    """Host-side build over the canonical triangle list.
+
+    Prefers the C++ builder (native/libtpt_native.so, ~100x faster,
+    identical output); falls back to this NumPy implementation."""
     v0 = np.asarray(geom.tri_v0)
     e1 = np.asarray(geom.tri_e1)
     e2 = np.asarray(geom.tri_e2)
@@ -82,6 +85,13 @@ def build_bvh(geom: Geometry) -> BVH:
     tmax = np.maximum(np.maximum(v0, v1), v2)
     centroid = (tmin + tmax) * 0.5
     t = v0.shape[0]
+
+    if prefer_native:
+        from ..utils.native import native_build_bvh
+
+        fields = native_build_bvh(tmin, tmax, LEAF_SIZE)
+        if fields is not None:
+            return BVH(**{k: jnp.asarray(v) for k, v in fields.items()})
 
     # Morton pre-sort for leaf coherence.
     lo, hi = centroid.min(0), centroid.max(0)

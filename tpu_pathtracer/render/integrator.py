@@ -52,6 +52,7 @@ from ..core.math_utils import (
     reflect,
 )
 from ..ops.bvh import BVH, bvh_closest_hit
+from ..ops.intersect_pallas import pallas_closest_hit
 from ..ops.guiding import CDFPack, grid_pdf, sample_grid
 from ..ops.intersect import closest_hit
 from ..scene.mesh import Geometry
@@ -112,6 +113,71 @@ def _sample_mis(cdfs, prim, sn, draws, bsdf_prob):
     return d, w
 
 
+
+def _num_draws(mode: int) -> int:
+    """Uniforms consumed per bounce: (u, v, rr) for BSDF; (s0..s3, rr,
+    mis-select) for guided modes."""
+    return 3 if mode == SAMPLING_BSDF else 6
+
+
+def _shade(hit, d, beta, live, draws, mode, cdfs, mis_frac, do_rr):
+    """Post-intersection bounce: emission contribution, Russian roulette,
+    albedo, direction sampling, mirror override, respawn origin.
+
+    Shared by the per-depth scan integrator and the wavefront-with-respawn
+    integrator. `do_rr` is a per-lane bool mask (depth > 2).
+
+    Returns (o_next, d_next, beta, live, contribution).
+    """
+    rr_col = 2 if mode == SAMPLING_BSDF else 4
+    contribution = jnp.where(live[:, None], beta * hit.emission, 0.0)
+
+    # Russian roulette (integrator.h:207-212)
+    max_beta = jnp.max(beta, axis=-1)
+    rr_p = jnp.minimum(max_beta, RR_MAX_PROB)
+    rr_kill = do_rr & (draws[:, rr_col] > rr_p)
+    live = live & ~rr_kill
+    rr_div = jnp.where(do_rr & live, jnp.maximum(rr_p, 1e-12), 1.0)
+    beta = beta / rr_div[:, None]
+
+    beta = beta * hit.albedo
+    live = live & (length(beta) >= THROUGHPUT_EPS)
+
+    sn = jnp.where((dot(d, hit.n) < 0.0)[:, None], hit.n, -hit.n)
+
+    if mode == SAMPLING_BSDF:
+        nd, w = _sample_bsdf(sn, draws[:, 0], draws[:, 1])
+    else:
+        g_valid = cdfs.valid[hit.prim]
+        if mode == SAMPLING_MIS:
+            nd_g, w_g = _sample_mis(cdfs, hit.prim, sn, draws, mis_frac)
+        else:
+            nd_g, w_g = _sample_pure_grid(cdfs, hit.prim, sn, draws)
+        nd_c, w_c = _sample_bsdf(sn, draws[:, 0], draws[:, 1])
+        nd = jnp.where(g_valid[:, None], nd_g, nd_c)
+        w = jnp.where(g_valid, w_g, w_c)
+
+    # Mirror lobe (additive capability): specular reflection, no pdf
+    # weighting; tint already applied via beta *= albedo.
+    is_mirror = hit.material == MATERIAL_MIRROR
+    nd = jnp.where(is_mirror[:, None], reflect(d, sn), nd)
+    w = jnp.where(is_mirror, 1.0, w)
+
+    beta = beta * w[:, None]
+    o_next = hit.p + sn * RAY_EPS
+    return o_next, nd, beta, live, contribution
+
+
+def _intersect(geom, o, d, bvh, tri_pack, attr_pack):
+    if tri_pack is not None:
+        return pallas_closest_hit(
+            geom, tri_pack, o, d, t_min=RAY_EPS, attr_pack=attr_pack
+        )
+    if bvh is not None:
+        return bvh_closest_hit(geom, bvh, o, d, t_min=RAY_EPS)
+    return closest_hit(geom, o, d, t_min=RAY_EPS)
+
+
 def trace(
     geom: Geometry,
     origins: jax.Array,
@@ -123,6 +189,8 @@ def trace(
     cdfs: CDFPack | None = None,
     mis_bsdf_fraction: float | jax.Array = 0.5,
     bvh: BVH | None = None,
+    tri_pack: jax.Array | None = None,
+    attr_pack: jax.Array | None = None,
 ) -> tuple[jax.Array, TraceStats]:
     """Trace a batch of paths to completion.
 
@@ -138,6 +206,9 @@ def trace(
             runs the lockstep BVH traversal instead of the all-pairs
             brute force (the RayTracingManager backend switch,
             ray_tracing_backend.h:50-76).
+        tri_pack: optional packed-triangle array (ops/intersect_pallas):
+            selects the Pallas VMEM-resident brute-force kernel — the
+            fastest single-chip path for small/medium scenes on TPU.
 
     Returns:
         (radiance, stats): (B, 3) per-path radiance estimates.
@@ -152,7 +223,11 @@ def trace(
         o, d, beta, radiance, alive = carry
         n_alive = jnp.sum(alive)
 
-        if bvh is not None:
+        if tri_pack is not None:
+            hit = pallas_closest_hit(
+                geom, tri_pack, o, d, t_min=RAY_EPS, attr_pack=attr_pack
+            )
+        elif bvh is not None:
             hit = bvh_closest_hit(geom, bvh, o, d, t_min=RAY_EPS)
         else:
             hit = closest_hit(geom, o, d, t_min=RAY_EPS)
@@ -161,15 +236,17 @@ def trace(
             live[:, None], beta * hit.emission, 0.0
         )
 
+        n_draws = 3 if mode == SAMPLING_BSDF else 6
+        rr_col = 2 if mode == SAMPLING_BSDF else 4
         draws = jax.random.uniform(
-            jax.random.fold_in(key, depth), (b, 6)
+            jax.random.fold_in(key, depth), (b, n_draws)
         )
 
         # Russian roulette (integrator.h:207-212): strictly after depth 2.
         do_rr = depth > RR_START_DEPTH
         max_beta = jnp.max(beta, axis=-1)
         rr_p = jnp.minimum(max_beta, RR_MAX_PROB)
-        rr_kill = do_rr & (draws[:, 4] > rr_p)
+        rr_kill = do_rr & (draws[:, rr_col] > rr_p)
         live = live & ~rr_kill
         rr_div = jnp.where(do_rr & live, jnp.maximum(rr_p, 1e-12), 1.0)
         beta = beta / rr_div[:, None]
@@ -221,3 +298,114 @@ def trace_primary(geom: Geometry, origins, directions):
     """Primary-hit query used by the radiosity visualization integrator
     (render_radiosity, integrator.h:460-504) and by picking."""
     return closest_hit(geom, origins, directions, t_min=RAY_EPS)
+
+
+def trace_wavefront(
+    geom: Geometry,
+    camera,
+    pixel_x: jax.Array,
+    pixel_y: jax.Array,
+    key: jax.Array,
+    *,
+    width: int,
+    height: int,
+    spp: int,
+    max_depth: int,
+    mode: int = SAMPLING_BSDF,
+    cdfs: CDFPack | None = None,
+    mis_bsdf_fraction: float | jax.Array = 0.5,
+    bvh: BVH | None = None,
+    tri_pack: jax.Array | None = None,
+    attr_pack: jax.Array | None = None,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Persistent wavefront with same-pixel respawn.
+
+    Each lane owns one pixel and traces `spp` full paths for it. When a
+    lane's path terminates (miss, Russian roulette, throughput cutoff, or
+    max_depth) it immediately respawns the *next camera sample of its own
+    pixel* — so lane occupancy stays near 100% without any compaction
+    sort or film scatter (the pixel binding is static; the film update is
+    a plain reshape). This is the TPU answer to the reference megakernel's
+    per-thread path loop (SURVEY.md §7): the classic sort/compaction
+    wavefront pays a permutation per bounce, the same-pixel respawn pays
+    only the tail of the very last sample per lane.
+
+    RNG is keyed per (pass, iteration, lane): estimates are reproducible
+    for a fixed chunk layout but differ from the per-depth scan integrator
+    (both are unbiased estimators of the same integral).
+
+    Returns:
+        (radiance_sum, rays, iters): per-lane radiance SUM over spp
+        samples (B, 3); total live-lane bounce count; loop iterations.
+    """
+    if mode != SAMPLING_BSDF and cdfs is None:
+        raise ValueError("guided sampling modes require a CDFPack")
+
+    b = pixel_x.shape[0]
+    mis_frac = jnp.asarray(mis_bsdf_fraction, jnp.float32)
+    px = pixel_x.astype(jnp.float32)
+    py = pixel_y.astype(jnp.float32)
+    max_iters = spp * max_depth + max_depth
+
+    def spawn(iter_key, mask, o, d):
+        jit2 = jax.random.uniform(
+            jax.random.fold_in(iter_key, 101), (b, 2)
+        )
+        u = (px + jit2[:, 0]) / width
+        v = (py + jit2[:, 1]) / height
+        co, cd = camera.get_rays(u, v)
+        return (
+            jnp.where(mask[:, None], co, o),
+            jnp.where(mask[:, None], cd, d),
+        )
+
+    def cond(state):
+        _, _, _, _, alive, _, _, rays, it = state
+        return jnp.any(alive) & (it < max_iters)
+
+    def body(state):
+        o, d, beta, total, alive, depth, done, rays, it = state
+        iter_key = jax.random.fold_in(key, it)
+        rays = rays + jnp.sum(alive)
+
+        hit = _intersect(geom, o, d, bvh, tri_pack, attr_pack)
+        live = alive & hit.valid
+        draws = jax.random.uniform(
+            jax.random.fold_in(iter_key, 7), (b, _num_draws(mode))
+        )
+        o, d, beta, live, contrib = _shade(
+            hit, d, beta, live, draws, mode, cdfs, mis_frac,
+            depth > RR_START_DEPTH,
+        )
+        total = total + contrib
+
+        depth = depth + 1
+        live = live & (depth < max_depth)
+
+        respawn = alive & ~live & (done < spp)
+        o, d = spawn(iter_key, respawn, o, d)
+        beta = jnp.where(respawn[:, None], 1.0, beta)
+        depth = jnp.where(respawn, 0, depth)
+        done = done + respawn.astype(jnp.int32)
+        alive = live | respawn
+        return (o, d, beta, total, alive, depth, done, rays, it + 1)
+
+    o0 = jnp.zeros((b, 3), jnp.float32)
+    d0 = jnp.ones((b, 3), jnp.float32)
+    o0, d0 = spawn(jax.random.fold_in(key, 0x5EED), jnp.ones((b,), bool),
+                   o0, d0)
+    state = (
+        o0,
+        d0,
+        jnp.ones((b, 3), jnp.float32),
+        jnp.zeros((b, 3), jnp.float32),
+        jnp.ones((b,), bool),
+        jnp.zeros((b,), jnp.int32),
+        jnp.ones((b,), jnp.int32),   # sample 0 already spawned
+        jnp.zeros((), jnp.int32),
+        jnp.zeros((), jnp.int32),
+    )
+    (_, _, _, total, _, _, _, rays, it) = jax.lax.while_loop(
+        cond, body, state
+    )
+    return total, rays, it

@@ -27,7 +27,7 @@ from ..scene.mesh import Geometry
 from ..utils.logger import get_logger
 from .camera import Camera
 from .film import Film
-from .integrator import trace, trace_primary
+from .integrator import trace, trace_primary, trace_wavefront
 
 log = get_logger("Renderer")
 
@@ -43,6 +43,7 @@ class RenderSettings:
     sampling_mode: int = SAMPLING_BSDF
     spp_per_pass: int = 1
     ray_chunk: int = 1 << 16     # rays in flight per lax.map step
+    wavefront: bool = True       # same-pixel-respawn wavefront loop
 
     @property
     def num_pixels(self) -> int:
@@ -63,6 +64,8 @@ def render_pass(
     mis_bsdf_fraction: jax.Array,
     settings: RenderSettings,
     bvh=None,
+    tri_pack=None,
+    attr_pack=None,
 ):
     """Trace settings.spp_per_pass samples per pixel and accumulate.
 
@@ -71,6 +74,9 @@ def render_pass(
     s = settings
     npix = s.num_pixels
     chunk = min(s.ray_chunk, npix)
+    if tri_pack is not None:
+        # the Pallas intersector wants ray batches in 1024-multiples
+        chunk = max(1024, (chunk // 1024) * 1024)
     npad = ((npix + chunk - 1) // chunk) * chunk
     pix = jnp.arange(npad, dtype=jnp.int32)
     # Padded lanes trace pixel 0 (wasted but static-shape); their results
@@ -85,6 +91,26 @@ def render_pass(
         x = (ids % s.width).astype(jnp.float32)
         y = (ids // s.width).astype(jnp.float32)
         ckey = jax.random.fold_in(pass_key, chunk_idx)
+
+        if s.wavefront:
+            radiance_sum, rays, _ = trace_wavefront(
+                geom,
+                camera,
+                x,
+                y,
+                rng.stream_key(ckey, rng.STREAM_PATH),
+                width=s.width,
+                height=s.height,
+                spp=s.spp_per_pass,
+                max_depth=s.max_depth,
+                mode=s.sampling_mode,
+                cdfs=cdfs,
+                mis_bsdf_fraction=mis_bsdf_fraction,
+                bvh=bvh,
+                tri_pack=tri_pack,
+                attr_pack=attr_pack,
+            )
+            return radiance_sum, rays
 
         def one_sample(acc, samp):
             radiance_sum, rays = acc
@@ -105,6 +131,8 @@ def render_pass(
                 cdfs=cdfs,
                 mis_bsdf_fraction=mis_bsdf_fraction,
                 bvh=bvh,
+                tri_pack=tri_pack,
+                attr_pack=attr_pack,
             )
             return (radiance_sum + radiance, rays + stats.rays), None
 
@@ -203,9 +231,13 @@ class ProgressiveRenderer:
         mis_bsdf_fraction: float = 0.5,
         seed: int = 2023,
         bvh=None,
+        tri_pack=None,
+        attr_pack=None,
     ):
         self.geom = geom
         self.bvh = bvh
+        self.tri_pack = tri_pack
+        self.attr_pack = attr_pack
         self.camera = camera
         self.settings = settings
         self.cdfs = cdfs
@@ -227,6 +259,8 @@ class ProgressiveRenderer:
             self.mis_bsdf_fraction,
             self.settings,
             self.bvh,
+            self.tri_pack,
+            self.attr_pack,
         )
         jax.block_until_ready(self.film.accum)
         dt = time.perf_counter() - t0

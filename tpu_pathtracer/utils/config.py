@@ -61,7 +61,7 @@ class Config:
     #                                  filtered_radiosity | filtered_formfactor
 
     # Execution
-    use_bvh: str = "auto"            # auto | on | off (accel backend)
+    backend: str = "auto"            # auto | brute | pallas | bvh
     seed: int = 2023
     ray_chunk: int = 1 << 16
     num_tiles: int = 0               # >1: shard_map multi-chip tiling

@@ -24,8 +24,8 @@ def _chunk(tag: bytes, data: bytes) -> bytes:
     )
 
 
-def write_png(path: str, image: np.ndarray) -> None:
-    """Write an (H, W, 3) uint8 array (row 0 = top) as a PNG file."""
+def png_bytes(image: np.ndarray) -> bytes:
+    """Encode an (H, W, 3) uint8 array (row 0 = top) as PNG bytes."""
     img = np.ascontiguousarray(np.asarray(image, np.uint8))
     if img.ndim != 3 or img.shape[2] != 3:
         raise ValueError(f"expected (H, W, 3) uint8, got {img.shape}")
@@ -33,15 +33,19 @@ def write_png(path: str, image: np.ndarray) -> None:
     raw = b"".join(
         b"\x00" + img[y].tobytes() for y in range(h)
     )
+    out = [b"\x89PNG\r\n\x1a\n"]
+    out.append(
+        _chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+    )
+    out.append(_chunk(b"IDAT", zlib.compress(raw, 6)))
+    out.append(_chunk(b"IEND", b""))
+    return b"".join(out)
+
+
+def write_png(path: str, image: np.ndarray) -> None:
+    """Write an (H, W, 3) uint8 array (row 0 = top) as a PNG file."""
     with open(path, "wb") as f:
-        f.write(b"\x89PNG\r\n\x1a\n")
-        f.write(
-            _chunk(
-                b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
-            )
-        )
-        f.write(_chunk(b"IDAT", zlib.compress(raw, 6)))
-        f.write(_chunk(b"IEND", b""))
+        f.write(png_bytes(image))
 
 
 def write_png_bottom_up(path: str, image: np.ndarray) -> None:
