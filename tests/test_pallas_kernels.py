@@ -97,3 +97,45 @@ class TestClosest:
         hit = ip.pallas_closest_hit(geom, tp, o, d, attr_pack=ap)
         assert not bool(hit.valid.any())
         assert float(jnp.sum(hit.emission)) == 0.0
+
+
+class TestCulled:
+    def test_matches_bruteforce(self):
+        """Cluster-culled kernel must agree with brute force on a multi-
+        cluster scene for coherent and incoherent rays."""
+        geom = subdivide(cornell_box("quads"), 2).build()  # 512 tris
+        cs = ip.CulledScene(geom)
+        assert cs.cluster_min.shape[0] == 4
+        for seed in (0, 5):
+            o, d = rays(2048, seed=seed)
+            hit = cs.closest_hit(geom, o, d)
+            ref = closest_hit(geom, o, d)
+            m = np.asarray(ref.valid)
+            assert (np.asarray(hit.valid) == m).all()
+            np.testing.assert_allclose(
+                np.asarray(hit.t)[m], np.asarray(ref.t)[m], rtol=1e-5
+            )
+            np.testing.assert_array_equal(
+                np.asarray(hit.prim)[m], np.asarray(ref.prim)[m]
+            )
+
+    def test_mask_covers_all_hit_clusters(self):
+        """The XLA pre-pass must never cull a cluster a ray hits."""
+        geom = subdivide(cornell_box("quads"), 2).build()
+        cs = ip.CulledScene(geom)
+        o, d = rays(1024, seed=9)
+        mask = ip._cluster_mask(
+            cs.cluster_min, cs.cluster_max, o, d, 1e-4
+        )
+        hit = cs.closest_hit(geom, o, d)
+        # winner triangle's cluster must be flagged in its tile's mask
+        ridx = np.asarray(
+            ip.pallas_closest_tuv_culled(
+                cs.tri_pack, cs.cluster_min, cs.cluster_max, o, d
+            )[1]
+        )
+        m = np.asarray(hit.valid)
+        clusters = (ridx // ip.TRI_CHUNK)[m]
+        tiles = (np.arange(1024) // ip.RAYS_PER_TILE)[m]
+        flat = np.asarray(mask).reshape(mask.shape[0], -1)
+        assert all(flat[t, c] > 0 for t, c in zip(tiles, clusters))

@@ -319,17 +319,30 @@ class App:
                 spp_per_pass=min(spp_pass, cfg.spp),
                 ray_chunk=cfg.ray_chunk,
             )
-            self._renderer = ProgressiveRenderer(
-                self.geom,
-                self.camera_ctrl.build(),
-                settings,
-                cdfs=self.cdfs,
-                mis_bsdf_fraction=cfg.mis_bsdf_fraction,
-                seed=cfg.seed,
-                bvh=self.bvh,
-                tri_pack=self.tri_pack,
-                attr_pack=self.attr_pack,
-            )
+            if cfg.num_tiles > 1:
+                from .parallel.sharding import TiledRenderer
+
+                self._renderer = TiledRenderer(
+                    self.geom,
+                    self.camera_ctrl.build(),
+                    settings,
+                    cdfs=self.cdfs,
+                    mis_bsdf_fraction=cfg.mis_bsdf_fraction,
+                    seed=cfg.seed,
+                    n_tiles=cfg.num_tiles,
+                )
+            else:
+                self._renderer = ProgressiveRenderer(
+                    self.geom,
+                    self.camera_ctrl.build(),
+                    settings,
+                    cdfs=self.cdfs,
+                    mis_bsdf_fraction=cfg.mis_bsdf_fraction,
+                    seed=cfg.seed,
+                    bvh=self.bvh,
+                    tri_pack=self.tri_pack,
+                    attr_pack=self.attr_pack,
+                )
         return self._renderer
 
     def render(self) -> np.ndarray:
@@ -355,12 +368,42 @@ class App:
         r = self.renderer()
         with self.profiler.stage("Render"):
             r.render(cfg.spp)
-        log.info(
-            "Rendered %dx%d @ %d spp: %.1f Mrays/s (%d rays, %.2fs)",
-            cfg.width, cfg.height, int(r.film.spp),
-            r.mrays_per_sec, r.total_rays, r.render_seconds,
+        film = r.gather_film() if hasattr(r, "gather_film") else r.film
+        if hasattr(r, "mrays_per_sec"):
+            log.info(
+                "Rendered %dx%d @ %d spp: %.1f Mrays/s (%d rays, %.2fs)",
+                cfg.width, cfg.height, int(film.spp),
+                r.mrays_per_sec, r.total_rays, r.render_seconds,
+            )
+        return film.to_image()
+
+    def render_history_delta(
+        self, step1: int, step2: int, boost: float = 1.0
+    ) -> np.ndarray:
+        """Radiosity-history difference image |B(step1) - B(step2)| on
+        primary hits — the reference's outputs/deltas/delta_i_j
+        [_boosted].png artifacts (SURVEY.md C32, primitive.h:193-222)."""
+        import jax.numpy as jnp
+
+        self.prepare()
+        if self.solution is None:
+            self.run_solver()
+        cfg = self.config
+        delta = jnp.abs(self.solution.history_delta(step1, step2)) * boost
+        img = render_radiosity_view(
+            self.geom,
+            delta,
+            self.camera_ctrl.build(),
+            rng.base_key(cfg.seed),
+            RenderSettings(
+                width=cfg.width,
+                height=cfg.height,
+                spp_per_pass=max(cfg.spp, 1),
+                ray_chunk=cfg.ray_chunk,
+            ),
+            include_emission=False,
         )
-        return r.film.to_image()
+        return np.asarray(img)[::-1]
 
     def pick(self, u: float, v: float) -> int:
         """Primitive under the cursor (callbacks.h:22-86)."""

@@ -39,6 +39,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="resume from a checkpoint npz")
     p.add_argument("--profile", action="store_true",
                    help="print the stage-profiler summary")
+    p.add_argument("--history-delta", type=int, nargs=2, metavar=("S1", "S2"),
+                   default=None,
+                   help="render the radiosity-history delta image "
+                        "|B(S1)-B(S2)| instead of the integrator output")
+    p.add_argument("--delta-boost", type=float, default=1.0,
+                   help="brightness boost for --history-delta")
     p.add_argument("--config-json", type=str, default="",
                    help="load Config from a JSON file (flags override)")
     p.add_argument("--verbose", action="store_true")
@@ -72,7 +78,12 @@ def main(argv=None) -> int:
     if args.resume:
         app.prepare()
         app.load_checkpoint(args.resume)
-    image = app.render()
+    if args.history_delta is not None:
+        image = app.render_history_delta(
+            args.history_delta[0], args.history_delta[1], args.delta_boost
+        )
+    else:
+        image = app.render()
     app.save_png(args.out, image)
     if args.checkpoint:
         app.save_checkpoint(args.checkpoint)

@@ -206,9 +206,7 @@ def bvh_closest_tuv(geom: Geometry, bvh: BVH, o, d, t_min, t_max):
     def body(state):
         stack, sp, t_best, best_tri = state
         active = sp > 0
-        top = jnp.maximum(sp - 1, 0)
-        node = jnp.take_along_axis(stack, top[:, None], axis=1)[:, 0]
-        node = jnp.where(active, node, 0)
+        node = jnp.where(active, _stack_top(stack, sp), 0)
         sp = jnp.where(active, sp - 1, sp)
 
         nmin = bvh.node_min[node]
@@ -252,11 +250,23 @@ def bvh_closest_tuv(geom: Geometry, bvh: BVH, o, d, t_min, t_max):
 
 
 def _scatter_push(stack, sp, value, mask):
-    """stack[b, sp[b]] = value[b] where mask."""
+    """stack[b, sp[b]] = value[b] where mask — expressed as a one-hot
+    blend over the (small) stack axis: per-lane dynamic scatters lower
+    terribly on TPU, a (B, DEPTH) select does not."""
     slot = jnp.clip(sp, 0, STACK_DEPTH - 1)
-    cur = jnp.take_along_axis(stack, slot[:, None], axis=1)[:, 0]
-    new = jnp.where(mask, value, cur)
-    return jax.vmap(lambda row, s, v: row.at[s].set(v))(stack, slot, new)
+    onehot = (
+        jnp.arange(STACK_DEPTH, dtype=jnp.int32)[None, :] == slot[:, None]
+    ) & mask[:, None]
+    return jnp.where(onehot, value[:, None], stack)
+
+
+def _stack_top(stack, sp):
+    """stack[b, sp[b]-1] via a one-hot reduction (same rationale)."""
+    top = jnp.maximum(sp - 1, 0)
+    onehot = (
+        jnp.arange(STACK_DEPTH, dtype=jnp.int32)[None, :] == top[:, None]
+    )
+    return jnp.sum(jnp.where(onehot, stack, 0), axis=1)
 
 
 def bvh_closest_hit(geom: Geometry, bvh: BVH, o, d, t_min=1e-4,
@@ -304,9 +314,7 @@ def bvh_occluded(geom: Geometry, bvh: BVH, o, d, max_dist,
     def body(state):
         stack, sp, blocked = state
         active = (sp > 0) & ~blocked
-        top = jnp.maximum(sp - 1, 0)
-        node = jnp.take_along_axis(stack, top[:, None], axis=1)[:, 0]
-        node = jnp.where(active, node, 0)
+        node = jnp.where(active, _stack_top(stack, sp), 0)
         sp = jnp.where(active, sp - 1, sp)
 
         box_hit = active & _slab_test(

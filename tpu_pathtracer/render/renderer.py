@@ -154,16 +154,19 @@ def render_pass(
     return film, jnp.sum(rays)
 
 
-@partial(jax.jit, static_argnames=("settings",))
+@partial(jax.jit, static_argnames=("settings", "include_emission"))
 def render_radiosity_view(
     geom: Geometry,
     radiosity: jax.Array,
     camera: Camera,
     key: jax.Array,
     settings: RenderSettings,
+    include_emission: bool = True,
 ):
     """Direct radiosity visualization (render_radiosity,
     integrator.h:460-504): primary hit -> Le + B_i, sqrt gamma, u8.
+    With include_emission=False it visualizes an arbitrary per-primitive
+    color field (used for radiosity-history delta images).
 
     Args:
         radiosity: (N, 3) solved per-primitive radiosity.
@@ -191,11 +194,10 @@ def render_radiosity_view(
             v = (y + jit2[:, 1]) / s.height
             o, d = camera.get_rays(u, v)
             hit = trace_primary(geom, o, d)
-            c = jnp.where(
-                hit.valid[:, None],
-                hit.emission + radiosity[hit.prim],
-                0.0,
-            )
+            base = radiosity[hit.prim]
+            if include_emission:
+                base = base + hit.emission
+            c = jnp.where(hit.valid[:, None], base, 0.0)
             return acc + c, None
 
         acc, _ = jax.lax.scan(

@@ -1,0 +1,103 @@
+"""Per-phase kernel timing breakdown.
+
+Parity with the reference's in-kernel cycle accounting
+(`ENABLE_KERNEL_PROFILING`, KernelProfileData: intersection / grid-init /
+sampling / shading cycles via clock64+atomics, render_config.h:61-77 and
+the Profiler-window percentage breakdown, ui_windows.h:487-550). On TPU we
+cannot cheaply read cycle counters inside a fused program, so the breakdown
+is measured by timing phase-isolated jitted programs over a representative
+ray batch — same information, presented as a table/dict.
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+
+from ..core.constants import SAMPLING_BSDF
+from ..core.math_utils import cosine_sample_hemisphere, dot
+from ..ops.guiding import sample_grid
+from ..render.integrator import _intersect
+
+
+def _time(fn, *args, iters=10) -> float:
+    r = fn(*args)
+    jax.block_until_ready(r)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        r = fn(*args)
+    jax.block_until_ready(r)
+    return (time.perf_counter() - t0) / iters
+
+
+def kernel_profile(
+    geom,
+    o,
+    d,
+    *,
+    mode: int = SAMPLING_BSDF,
+    cdfs=None,
+    bvh=None,
+    tri_pack=None,
+    attr_pack=None,
+    iters: int = 10,
+) -> dict:
+    """Measure the bounce phases for a ray batch (o, d).
+
+    Returns {phase: seconds} plus percentage shares — the KernelProfileData
+    equivalent (intersection / grid sampling / bsdf sampling / rng).
+    """
+    b = o.shape[0]
+    key = jax.random.key(0)
+
+    @jax.jit
+    def p_intersect(o, d):
+        h = _intersect(geom, o, d, bvh, tri_pack, attr_pack)
+        return h.t.sum() + h.emission.sum()
+
+    @jax.jit
+    def p_rng(k):
+        return jax.random.uniform(k, (b, 6)).sum()
+
+    @jax.jit
+    def p_bsdf_sample(n, u):
+        dd, pdf = cosine_sample_hemisphere(n, u[:, 0], u[:, 1])
+        return dd.sum() + pdf.sum()
+
+    results = {}
+    results["intersection"] = _time(p_intersect, o, d, iters=iters)
+    results["rng"] = _time(p_rng, key, iters=iters)
+    n = jnp.broadcast_to(jnp.array([0.0, 1.0, 0.0]), (b, 3))
+    u = jax.random.uniform(key, (b, 2))
+    results["bsdf_sampling"] = _time(p_bsdf_sample, n, u, iters=iters)
+
+    if cdfs is not None:
+        prim = jnp.zeros((b,), jnp.int32)
+        u4 = jax.random.uniform(key, (4, b))
+
+        @jax.jit
+        def p_grid(n, u4):
+            dd, pdf = sample_grid(cdfs, prim, n, u4[0], u4[1], u4[2], u4[3])
+            return dd.sum() + pdf.sum()
+
+        results["grid_sampling"] = _time(p_grid, n, u4, iters=iters)
+
+    total = sum(results.values())
+    return {
+        "seconds": results,
+        "percent": {
+            k: 100.0 * v / total for k, v in results.items()
+        },
+        "rays": b,
+    }
+
+
+def format_profile(prof: dict) -> str:
+    lines = [f"{'phase':<16} {'ms':>8} {'%':>6}"]
+    for k, v in prof["seconds"].items():
+        lines.append(
+            f"{k:<16} {v * 1e3:>8.3f} {prof['percent'][k]:>6.1f}"
+        )
+    return "\n".join(lines)
