@@ -156,13 +156,14 @@ class App:
         self.bvh = None
         self.tri_pack = None
         self.attr_pack = None
+        self.culled = None
         backend = cfg.backend
         if backend == "auto":
             on_tpu = _jax.default_backend() == "tpu"
-            if self.geom.num_tris > 16384:
-                backend = "bvh"
-            elif on_tpu:
-                backend = "pallas"
+            if on_tpu:
+                backend = (
+                    "culled" if self.geom.num_tris > 16384 else "pallas"
+                )
             elif self.geom.num_tris > 2048:
                 backend = "bvh"
             else:
@@ -173,6 +174,14 @@ class App:
             log.info(
                 "BVH built: %d nodes in %.1f ms (backend: bvh)",
                 self.bvh.num_nodes, (time.perf_counter() - t0) * 1e3,
+            )
+        elif backend == "culled":
+            from .ops.intersect_pallas import CulledScene
+
+            self.culled = CulledScene(self.geom)
+            log.info(
+                "Backend: cluster-culled pallas (%d tris, %d clusters)",
+                self.geom.num_tris, self.culled.cluster_min.shape[0],
             )
         elif backend == "pallas":
             from .ops.intersect_pallas import pack_attributes, pack_triangles
@@ -342,6 +351,7 @@ class App:
                     bvh=self.bvh,
                     tri_pack=self.tri_pack,
                     attr_pack=self.attr_pack,
+                    culled=self.culled,
                 )
         return self._renderer
 

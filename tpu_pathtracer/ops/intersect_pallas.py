@@ -423,7 +423,10 @@ def _cluster_mask(cluster_min, cluster_max, o, d, t_min):
     )                                                # (tiles, C)
     cpad = ((c + RAY_TILE - 1) // RAY_TILE) * RAY_TILE
     mask = jnp.zeros((tiles, cpad), jnp.int32)
-    return mask.at[:, :c].set(tile_hit.astype(jnp.int32))
+    mask = mask.at[:, :c].set(tile_hit.astype(jnp.int32))
+    # (tiles, 1, cpad): the middle singleton makes the per-tile SMEM
+    # block shape (1, 1, cpad) legal (last two dims == array dims)
+    return mask[:, None, :]
 
 
 def _kernel_culled(tri_ref, mask_ref, ox, oy, oz, dx, dy, dz, tmin_ref,
@@ -474,7 +477,7 @@ def _kernel_culled(tri_ref, mask_ref, ox, oy, oz, dx, dy, dz, tmin_ref,
                     jnp.where(better, idc, id_cur),
                 )
 
-            m = mask_ref[0, c]
+            m = mask_ref[0, 0, c]
             return jax.lax.cond(m > 0, active, lambda cr: cr, carry)
 
         t0 = jnp.full((1, RAY_TILE), jnp.inf)
@@ -499,7 +502,7 @@ def pallas_closest_tuv_culled(tri_pack, cluster_min, cluster_max, o, d,
     # Scalar mask lives in SMEM: per-cluster reads are scalar loads with
     # no vector-alignment constraints.
     mask_spec = pl.BlockSpec(
-        (1, mask.shape[1]), lambda i: (i, 0),
+        (1, 1, mask.shape[2]), lambda i: (i, 0, 0),
         memory_space=pltpu.SMEM,
     )
     t, idx = pl.pallas_call(
@@ -523,15 +526,32 @@ def pallas_closest_tuv_culled(tri_pack, cluster_min, cluster_max, o, d,
     return t.reshape(b), idx.reshape(b)
 
 
+@jax.tree_util.register_pytree_node_class
 class CulledScene:
-    """Precomputed state for the cluster-culled intersector."""
+    """Precomputed state for the cluster-culled intersector (pytree so it
+    can ride through jit boundaries)."""
 
-    def __init__(self, geom: Geometry):
+    def __init__(self, geom: Geometry = None, _leaves=None):
+        if _leaves is not None:
+            (self.tri_pack, self.cluster_min, self.cluster_max,
+             self.order_dev) = _leaves
+            return
         self.order = morton_order(geom)
         self.tri_pack, self.cluster_min, self.cluster_max = (
             pack_triangles_ordered(geom, self.order)
         )
         self.order_dev = jnp.asarray(self.order)
+
+    def tree_flatten(self):
+        return (
+            (self.tri_pack, self.cluster_min, self.cluster_max,
+             self.order_dev),
+            None,
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        return cls(_leaves=leaves)
 
     def closest_hit(self, geom: Geometry, o, d, t_min=1e-4,
                     t_max=jnp.inf):

@@ -168,7 +168,9 @@ def _shade(hit, d, beta, live, draws, mode, cdfs, mis_frac, do_rr):
     return o_next, nd, beta, live, contribution
 
 
-def _intersect(geom, o, d, bvh, tri_pack, attr_pack):
+def _intersect(geom, o, d, bvh, tri_pack, attr_pack, culled=None):
+    if culled is not None:
+        return culled.closest_hit(geom, o, d, t_min=RAY_EPS)
     if tri_pack is not None:
         return pallas_closest_hit(
             geom, tri_pack, o, d, t_min=RAY_EPS, attr_pack=attr_pack
@@ -191,6 +193,7 @@ def trace(
     bvh: BVH | None = None,
     tri_pack: jax.Array | None = None,
     attr_pack: jax.Array | None = None,
+    culled=None,
 ) -> tuple[jax.Array, TraceStats]:
     """Trace a batch of paths to completion.
 
@@ -317,6 +320,7 @@ def trace_wavefront(
     bvh: BVH | None = None,
     tri_pack: jax.Array | None = None,
     attr_pack: jax.Array | None = None,
+    culled=None,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Persistent wavefront with same-pixel respawn.
 
@@ -368,7 +372,7 @@ def trace_wavefront(
         iter_key = jax.random.fold_in(key, it)
         rays = rays + jnp.sum(alive)
 
-        hit = _intersect(geom, o, d, bvh, tri_pack, attr_pack)
+        hit = _intersect(geom, o, d, bvh, tri_pack, attr_pack, culled)
         live = alive & hit.valid
         draws = jax.random.uniform(
             jax.random.fold_in(iter_key, 7), (b, _num_draws(mode))

@@ -66,6 +66,7 @@ def render_pass(
     bvh=None,
     tri_pack=None,
     attr_pack=None,
+    culled=None,
 ):
     """Trace settings.spp_per_pass samples per pixel and accumulate.
 
@@ -74,8 +75,8 @@ def render_pass(
     s = settings
     npix = s.num_pixels
     chunk = min(s.ray_chunk, npix)
-    if tri_pack is not None:
-        # the Pallas intersector wants ray batches in 1024-multiples
+    if tri_pack is not None or culled is not None:
+        # the Pallas intersectors want ray batches in 1024-multiples
         chunk = max(1024, (chunk // 1024) * 1024)
     npad = ((npix + chunk - 1) // chunk) * chunk
     pix = jnp.arange(npad, dtype=jnp.int32)
@@ -109,6 +110,7 @@ def render_pass(
                 bvh=bvh,
                 tri_pack=tri_pack,
                 attr_pack=attr_pack,
+                culled=culled,
             )
             return radiance_sum, rays
 
@@ -133,6 +135,7 @@ def render_pass(
                 bvh=bvh,
                 tri_pack=tri_pack,
                 attr_pack=attr_pack,
+                culled=culled,
             )
             return (radiance_sum + radiance, rays + stats.rays), None
 
@@ -235,11 +238,13 @@ class ProgressiveRenderer:
         bvh=None,
         tri_pack=None,
         attr_pack=None,
+        culled=None,
     ):
         self.geom = geom
         self.bvh = bvh
         self.tri_pack = tri_pack
         self.attr_pack = attr_pack
+        self.culled = culled
         self.camera = camera
         self.settings = settings
         self.cdfs = cdfs
@@ -263,6 +268,7 @@ class ProgressiveRenderer:
             self.bvh,
             self.tri_pack,
             self.attr_pack,
+            self.culled,
         )
         jax.block_until_ready(self.film.accum)
         dt = time.perf_counter() - t0
