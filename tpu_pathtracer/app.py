@@ -216,6 +216,19 @@ class App:
                 filter_fn = lambda g: gaussian_filter_rgb(
                     g, cfg.sigma_spatial
                 )
+        occlusion_packs = None
+        if self.tri_pack is not None or self.culled is not None:
+            from .ops.intersect_pallas import (
+                pack_prim_ids,
+                pack_triangles,
+            )
+
+            occlusion_packs = (
+                self.tri_pack
+                if self.tri_pack is not None
+                else pack_triangles(self.geom),
+                pack_prim_ids(self.geom),
+            )
         with self.profiler.stage("Radiosity Solve"):
             t0 = time.perf_counter()
             self.solution = solve_radiosity(
@@ -225,6 +238,7 @@ class App:
                 use_monte_carlo=cfg.use_monte_carlo,
                 mc_samples=cfg.mc_samples,
                 filter_fn=filter_fn,
+                occlusion_packs=occlusion_packs,
             )
             jax.block_until_ready(self.solution.radiosity)
         log.info(

@@ -364,8 +364,12 @@ def morton_order(geom: Geometry) -> np.ndarray:
 
 
 def pack_triangles_ordered(geom: Geometry, order: np.ndarray):
-    """tri_pack with rows permuted by `order`; returns
-    (tri_pack, cluster_min (C,3), cluster_max (C,3))."""
+    """Morton-permuted triangle constants in TRANSPOSED layout (16, Tpad):
+    constants on sublanes, triangles on lanes. Unlike the (Tpad, 16)
+    layout this has no lane padding (exact 64B/triangle), so XLA can stage
+    it in VMEM inside loops without 8x bloat, and per-cluster slices are
+    lane-aligned for DMA. Returns (tri_pack_T, cluster_min, cluster_max).
+    """
     inv = np.asarray(geom.tri_inv)[order]
     v0 = np.asarray(geom.tri_v0)[order]
     e1 = np.asarray(geom.tri_e1)[order]
@@ -385,7 +389,7 @@ def pack_triangles_ordered(geom: Geometry, order: np.ndarray):
     cmin.reshape(-1, 3)[:t] = tmin
     cmax.reshape(-1, 3)[:t] = tmax
     return (
-        jnp.asarray(out),
+        jnp.asarray(out.T.copy()),
         jnp.asarray(cmin.min(axis=1)),
         jnp.asarray(cmax.max(axis=1)),
     )
@@ -431,7 +435,7 @@ def _cluster_mask(cluster_min, cluster_max, o, d, t_min):
 
 def _kernel_culled(tri_ref, mask_ref, ox, oy, oz, dx, dy, dz, tmin_ref,
                    t_out, id_out):
-    n_chunks = tri_ref.shape[0] // TRI_CHUNK
+    n_chunks = tri_ref.shape[1] // TRI_CHUNK
     t_min = tmin_ref[0]
 
     for r in range(ROWS_PER_STEP):
@@ -441,7 +445,11 @@ def _kernel_culled(tri_ref, mask_ref, ox, oy, oz, dx, dy, dz, tmin_ref,
         def chunk(c, carry):
             def active(carry):
                 t_cur, id_cur = carry
-                blk = tri_ref[pl.ds(c * TRI_CHUNK, TRI_CHUNK), :]
+                # (16, 128) lane-aligned slice, transposed on-chip to
+                # triangles-on-sublanes for the broadcast math
+                blk = jnp.transpose(
+                    tri_ref[:, pl.ds(c * TRI_CHUNK, TRI_CHUNK)]
+                )
 
                 def col(k):
                     return blk[:, k][:, None]
@@ -508,6 +516,9 @@ def pallas_closest_tuv_culled(tri_pack, cluster_min, cluster_max, o, d,
     t, idx = pl.pallas_call(
         _kernel_culled,
         grid=(rows // ROWS_PER_STEP,),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=14 * 1024 * 1024,
+        ),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),
             mask_spec,
@@ -557,7 +568,7 @@ class CulledScene:
                     t_max=jnp.inf):
         from .intersect import Hit
 
-        t, ridx = pallas_closest_tuv_culled(
+        t, ridx = pallas_closest_tuv_dma(
             self.tri_pack, self.cluster_min, self.cluster_max, o, d, t_min
         )
         tri_idx = self.order_dev[ridx]   # back to original triangle ids
@@ -574,3 +585,275 @@ class CulledScene:
             emission=jnp.where(valid[:, None], geom.emission[prim], 0.0),
             material=geom.material[prim],
         )
+
+
+# ---------------------------------------------------------------------------
+# Any-hit occlusion kernel (form-factor visibility)
+# ---------------------------------------------------------------------------
+
+
+def _kernel_anyhit(tri_ref, prim_ref, ox, oy, oz, dx, dy, dz, maxd,
+                   ex_a, ex_b, blocked_out):
+    """Per-ray any-hit with two excluded primitive ids
+    (visibility_test_anyhit parity, form_factors.h:144-209)."""
+    n_chunks = tri_ref.shape[0] // TRI_CHUNK
+
+    for r in range(ROWS_PER_STEP):
+        rox, roy, roz = ox[r:r + 1, :], oy[r:r + 1, :], oz[r:r + 1, :]
+        rdx, rdy, rdz = dx[r:r + 1, :], dy[r:r + 1, :], dz[r:r + 1, :]
+        rmax = maxd[r:r + 1, :]
+        rea = ex_a[r:r + 1, :]
+        reb = ex_b[r:r + 1, :]
+
+        def chunk(c, blocked):
+            blk = tri_ref[pl.ds(c * TRI_CHUNK, TRI_CHUNK), :]
+
+            def col(k):
+                return blk[:, k][:, None]
+
+            os_ = col(6) * rox + col(7) * roy + col(8) * roz - col(11)
+            ds_ = col(6) * rdx + col(7) * rdy + col(8) * rdz
+            t = -os_ / ds_
+            u = (
+                col(0) * rox + col(1) * roy + col(2) * roz - col(9)
+            ) + t * (col(0) * rdx + col(1) * rdy + col(2) * rdz)
+            v = (
+                col(3) * rox + col(4) * roy + col(5) * roz - col(10)
+            ) + t * (col(3) * rdx + col(4) * rdy + col(5) * rdz)
+            prim = prim_ref[pl.ds(c * TRI_CHUNK, TRI_CHUNK), :][:, 0][
+                :, None
+            ]                                                   # (128, 1)
+            ok = (
+                (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+                & (t > 1e-5) & (t < rmax)
+                & (prim != rea) & (prim != reb)
+            )
+            hit_any = jnp.max(
+                ok.astype(jnp.float32), axis=0, keepdims=True
+            )
+            return jnp.maximum(blocked, hit_any)
+
+        b0 = jnp.zeros((1, RAY_TILE), jnp.float32)
+        blocked = jax.lax.fori_loop(0, n_chunks, chunk, b0)
+        blocked_out[r:r + 1, :] = blocked.astype(jnp.int32)
+
+
+def pack_prim_ids(geom: Geometry) -> jax.Array:
+    """(Tpad, 16) f32 with column 0 = logical primitive id per triangle
+    (padding rows get -2, matching no real primitive)."""
+    prim = np.asarray(geom.tri_prim)
+    t = prim.shape[0]
+    tpad = ((t + TRI_CHUNK - 1) // TRI_CHUNK) * TRI_CHUNK
+    out = np.full((tpad, 16), -2.0, np.float32)
+    out[:t, 0] = prim
+    return jnp.asarray(out)
+
+
+@partial(jax.jit, static_argnames=())
+def pallas_occluded(tri_pack, prim_pack, o, d, max_dist,
+                    exclude_a=None, exclude_b=None):
+    """Blocked mask for ray segments; B must be a multiple of 1024.
+
+    Drop-in for ops.intersect.occluded (eps=1e-5 any-hit window with two
+    excluded logical primitives)."""
+    b = o.shape[0]
+    step = RAY_TILE * ROWS_PER_STEP
+    assert b % step == 0, f"ray batch {b} not a multiple of {step}"
+    rows = b // RAY_TILE
+    if exclude_a is None:
+        exclude_a = jnp.full((b,), -1, jnp.int32)
+    if exclude_b is None:
+        exclude_b = jnp.full((b,), -1, jnp.int32)
+
+    ray_spec = _ray_spec()
+    extra = [
+        jnp.asarray(max_dist, jnp.float32).reshape(rows, RAY_TILE),
+        exclude_a.astype(jnp.float32).reshape(rows, RAY_TILE),
+        exclude_b.astype(jnp.float32).reshape(rows, RAY_TILE),
+    ]
+    blocked = pl.pallas_call(
+        _kernel_anyhit,
+        grid=(rows // ROWS_PER_STEP,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ]
+        + [ray_spec] * 9,
+        out_specs=ray_spec,
+        out_shape=jax.ShapeDtypeStruct((rows, RAY_TILE), jnp.int32),
+    )(tri_pack, prim_pack, *_ray_comps(o, d, rows), *extra)
+    return blocked.reshape(b).astype(bool)
+
+
+# ---------------------------------------------------------------------------
+# HBM-resident culled kernel with double-buffered cluster DMA
+# ---------------------------------------------------------------------------
+#
+# The VMEM-resident kernels cap out when the packed triangles no longer fit
+# on-chip (a (T,16) f32 array tiles to (8,128) lanes -> 8x padding, so 100k
+# triangles want ~52MB of VMEM). Production path for large scenes:
+# triangle constants stay in HBM; an XLA pre-pass builds each 1024-ray
+# tile's ACTIVE cluster list (ids of 128-triangle Morton clusters whose
+# AABB the tile's rays can hit); the kernel walks only that list, streaming
+# each cluster's 8KB constant block into a double-buffered VMEM scratch
+# with async DMA overlapped against the previous cluster's intersection
+# math. Scales to arbitrary triangle counts at O(active clusters) work.
+
+
+def _cluster_list(cluster_min, cluster_max, o, d, t_min):
+    """Active-cluster list per ray tile: (count (tiles,), ids (tiles, Cpad))
+    with real ids packed first (padding id 0, ignored via count)."""
+    b = o.shape[0]
+    c = cluster_min.shape[0]
+    tiles = b // RAYS_PER_TILE
+    safe_d = jnp.where(jnp.abs(d) > 1e-8, d, 1e-8)
+    inv_d = 1.0 / safe_d
+
+    def one_tile(args):
+        ot, it = args
+        t1 = (cluster_min[None] - ot[:, None]) * it[:, None]
+        t2 = (cluster_max[None] - ot[:, None]) * it[:, None]
+        tnear = jnp.max(jnp.minimum(t1, t2), axis=-1)
+        tfar = jnp.min(jnp.maximum(t1, t2), axis=-1)
+        hit = (tfar >= jnp.maximum(tnear, t_min)) & (tfar > 0.0)
+        return jnp.any(hit, axis=0)
+
+    tile_hit = jax.lax.map(
+        one_tile,
+        (
+            o.reshape(tiles, RAYS_PER_TILE, 3),
+            inv_d.reshape(tiles, RAYS_PER_TILE, 3),
+        ),
+    )                                                  # (tiles, C)
+    count = jnp.sum(tile_hit, axis=1).astype(jnp.int32)
+    # stable partition: active cluster ids first
+    order = jnp.argsort(~tile_hit, axis=1, stable=True).astype(jnp.int32)
+    cpad = ((c + RAY_TILE - 1) // RAY_TILE) * RAY_TILE
+    ids = jnp.zeros((tiles, cpad), jnp.int32)
+    ids = ids.at[:, :c].set(order)
+    return count, ids
+
+
+def _kernel_culled_dma(count_ref, list_ref, tri_hbm,
+                       ox, oy, oz, dx, dy, dz, tmin_ref,
+                       t_out, id_out, scratch, sem):
+    n_active = count_ref[0, 0, 0]
+    t_min = tmin_ref[0]
+
+    def get_dma(slot, k):
+        cid = list_ref[0, 0, k]
+        return pltpu.make_async_copy(
+            tri_hbm.at[:, pl.ds(cid * TRI_CHUNK, TRI_CHUNK)],
+            scratch.at[slot],
+            sem.at[slot],
+        )
+
+    @pl.when(n_active > 0)
+    def _():
+        get_dma(0, 0).start()
+
+    def body(k, carry):
+        t_cur, id_cur = carry                     # (8, 128) each
+        slot = jax.lax.rem(k, 2)
+
+        @pl.when(k + 1 < n_active)
+        def _():
+            get_dma(jax.lax.rem(k + 1, 2), k + 1).start()
+
+        get_dma(slot, k).wait()
+        blk = jnp.transpose(scratch[slot])        # (16,128) -> (128,16)
+        cid = list_ref[0, 0, k]
+
+        def col(kk):
+            return blk[:, kk][:, None]            # (128, 1)
+
+        for r in range(ROWS_PER_STEP):
+            rox, roy, roz = ox[r:r+1, :], oy[r:r+1, :], oz[r:r+1, :]
+            rdx, rdy, rdz = dx[r:r+1, :], dy[r:r+1, :], dz[r:r+1, :]
+            os_ = col(6) * rox + col(7) * roy + col(8) * roz - col(11)
+            ds_ = col(6) * rdx + col(7) * rdy + col(8) * rdz
+            t = -os_ / ds_
+            u = (
+                col(0) * rox + col(1) * roy + col(2) * roz - col(9)
+            ) + t * (col(0) * rdx + col(1) * rdy + col(2) * rdz)
+            v = (
+                col(3) * rox + col(4) * roy + col(5) * roz - col(10)
+            ) + t * (col(3) * rdx + col(4) * rdy + col(5) * rdz)
+            ok = (
+                (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+                & (t > 1e-8) & (t >= t_min)
+            )
+            tt = jnp.where(ok, t, jnp.inf)
+            tmin_c = jnp.min(tt, axis=0, keepdims=True)
+            ids = (
+                jax.lax.broadcasted_iota(jnp.int32, tt.shape, 0)
+                + cid * TRI_CHUNK
+            )
+            idc = jnp.min(
+                jnp.where(tt == tmin_c, ids, _BIG_ID),
+                axis=0, keepdims=True,
+            )
+            # In-kernel row update without scatter (unsupported in
+            # Mosaic): static row mask + where.
+            row_t = t_cur[r:r+1, :]
+            better = tmin_c < row_t                   # (1, 128)
+            rowmask = (
+                jax.lax.broadcasted_iota(
+                    jnp.int32, (ROWS_PER_STEP, RAY_TILE), 0
+                )
+                == r
+            )
+            upd = rowmask & better                    # (8, 128)
+            t_cur = jnp.where(upd, tmin_c, t_cur)
+            id_cur = jnp.where(upd, idc, id_cur)
+        return t_cur, id_cur
+
+    t0 = jnp.full((ROWS_PER_STEP, RAY_TILE), jnp.inf)
+    i0 = jnp.full((ROWS_PER_STEP, RAY_TILE), -1, jnp.int32)
+    t_fin, id_fin = jax.lax.fori_loop(0, n_active, body, (t0, i0))
+    t_out[...] = t_fin
+    id_out[...] = jnp.maximum(id_fin, 0)
+
+
+@partial(jax.jit, static_argnames=())
+def pallas_closest_tuv_dma(tri_pack, cluster_min, cluster_max, o, d,
+                           t_min=1e-4):
+    """(t, reordered tri idx) closest hit; triangles stream from HBM.
+    Works for arbitrary scene sizes; B must be a multiple of 1024."""
+    b = o.shape[0]
+    assert b % RAYS_PER_TILE == 0
+    rows = b // RAY_TILE
+    tiles = b // RAYS_PER_TILE
+
+    count, ids = _cluster_list(cluster_min, cluster_max, o, d, t_min)
+
+    ray_spec = _ray_spec()
+    t, idx = pl.pallas_call(
+        _kernel_culled_dma,
+        grid=(tiles,),
+        in_specs=[
+            pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, ids.shape[1]), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),   # tri_pack in HBM
+        ]
+        + [ray_spec] * 6
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=[ray_spec, ray_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((rows, RAY_TILE), jnp.float32),
+            jax.ShapeDtypeStruct((rows, RAY_TILE), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, 16, TRI_CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )(
+        count.reshape(tiles, 1, 1),
+        ids[:, None, :],
+        tri_pack,
+        *_ray_comps(o, d, rows),
+        jnp.full((1,), t_min, jnp.float32),
+    )
+    return t.reshape(b), idx.reshape(b)

@@ -160,6 +160,27 @@ def analytic_form_factors(geom: Geometry, row_chunk: int = 64):
     return ff.reshape(npad, n)[:n]
 
 
+def _occluded_dispatch(geom, o, d, maxd, ex_a, ex_b, occlusion_packs):
+    """Brute-force XLA any-hit, or the Pallas any-hit kernel when packs
+    are provided (large scenes / TPU: ~10x less HBM traffic)."""
+    if occlusion_packs is None:
+        return occluded(geom, o, d, maxd, exclude_a=ex_a, exclude_b=ex_b)
+    from ..ops.intersect_pallas import pallas_occluded
+
+    tri_pack, prim_pack = occlusion_packs
+    b = o.shape[0]
+    pad = (-b) % 1024
+    if pad:
+        zeros3 = jnp.zeros((pad, 3), o.dtype)
+        o = jnp.concatenate([o, zeros3])
+        d = jnp.concatenate([d, jnp.ones((pad, 3), o.dtype)])
+        maxd = jnp.concatenate([maxd, jnp.zeros((pad,), maxd.dtype)])
+        neg = jnp.full((pad,), -1, jnp.int32)
+        ex_a = jnp.concatenate([ex_a, neg])
+        ex_b = jnp.concatenate([ex_b, neg])
+    return pallas_occluded(tri_pack, prim_pack, o, d, maxd, ex_a, ex_b)[:b]
+
+
 @partial(jax.jit, static_argnames=("n_samples", "row_chunk"))
 def mc_form_factors_rows(
     geom: Geometry,
@@ -167,6 +188,7 @@ def mc_form_factors_rows(
     row_ids: jax.Array,
     n_samples: int = 64,
     row_chunk: int = 16,
+    occlusion_packs=None,
 ):
     """Monte-Carlo form factors for an explicit set of receiver rows —
     the building block for both the single-chip solve and the shard_map
@@ -221,13 +243,14 @@ def mc_form_factors_rows(
             )
 
             flat = lambda x: x.reshape(-1, *x.shape[2:])
-            blocked = occluded(
+            blocked = _occluded_dispatch(
                 geom,
                 flat(p_i + ni * 1e-4 * jnp.ones_like(sd)),
                 flat(sd),
                 flat(r - 2e-4),
-                exclude_a=flat(rows_b),
-                exclude_b=flat(cols_b),
+                flat(rows_b),
+                flat(cols_b),
+                occlusion_packs,
             ).reshape(r.shape)
             ok = active & ~blocked
 
@@ -293,6 +316,7 @@ def mc_form_factors(
     key: jax.Array,
     n_samples: int = 64,
     row_chunk: int = 16,
+    occlusion_packs=None,
 ):
     """Full (N, N) Monte-Carlo form factors + guiding grids
     (calculate_form_factors_mc_kernel, form_factors.h:220-352).
@@ -310,7 +334,8 @@ def mc_form_factors(
     npad = ((n + rc - 1) // rc) * rc
     row_ids = jnp.where(jnp.arange(npad) < n, jnp.arange(npad), 0)
     ff, gc, gv = mc_form_factors_rows(
-        geom, key, row_ids, n_samples=n_samples, row_chunk=rc
+        geom, key, row_ids, n_samples=n_samples, row_chunk=rc,
+        occlusion_packs=occlusion_packs,
     )
     return ff[:n], gc[:n], gv[:n]
 
@@ -403,6 +428,7 @@ def solve_radiosity(
     mc_samples: int = 64,
     filter_fn=None,
     row_chunk: int = 16,
+    occlusion_packs=None,
 ) -> RadiositySolution:
     """Full solver (RadiosityState::runSolver, application_state.h:688-777).
 
@@ -415,7 +441,8 @@ def solve_radiosity(
         key = rng_mod.base_key(12345)
     if use_monte_carlo:
         ff, grid_counts, rad_grid = mc_form_factors(
-            geom, key, n_samples=mc_samples, row_chunk=row_chunk
+            geom, key, n_samples=mc_samples, row_chunk=row_chunk,
+            occlusion_packs=occlusion_packs,
         )
     else:
         ff = analytic_form_factors(geom, row_chunk=max(row_chunk, 32))
