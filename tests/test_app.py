@@ -1,0 +1,114 @@
+"""App orchestration tests: the reference lifecycle call stacks
+(SURVEY.md §3) through the headless App + Config/CLI plumbing."""
+
+import os
+
+import numpy as np
+import pytest
+
+from tpu_pathtracer.app import App
+from tpu_pathtracer.utils.config import Config
+
+
+def small_cfg(**kw):
+    base = dict(
+        scene="cbox_quads", width=32, height=32, spp=4, max_depth=3,
+        ray_chunk=1024, spp_per_pass=4,
+    )
+    base.update(kw)
+    return Config(**base)
+
+
+class TestLifecycle:
+    def test_render_bsdf(self):
+        app = App(small_cfg())
+        img = app.render()
+        assert img.shape == (32, 32, 3) and img.dtype == np.uint8
+        assert img.max() > 0
+
+    def test_prepare_runs_startup_sequence(self):
+        """Guided mode triggers solver + CDFs (initializeApplication
+        parity: solve + precompute at startup, application.h:126-136)."""
+        app = App(small_cfg(sampling_mode="mis", mc_samples=8,
+                            radiosity_iterations=3))
+        app.prepare()
+        assert app.solution is not None
+        assert app.cdfs is not None
+        img = app.render()
+        assert img.max() > 0
+
+    def test_radiosity_integrator(self):
+        app = App(small_cfg(integrator="radiosity", mc_samples=8,
+                            radiosity_iterations=3))
+        img = app.render()
+        assert img.shape == (32, 32, 3)
+        assert img.max() > 0
+
+    def test_history_delta_image(self):
+        app = App(small_cfg(mc_samples=8, radiosity_iterations=4))
+        img = app.render_history_delta(0, 2, boost=4.0)
+        assert img.shape == (32, 32, 3)
+
+    def test_pick_and_orbit(self):
+        app = App(small_cfg())
+        app.load_scene()
+        idx = app.pick(0.5, 0.5)
+        assert idx >= 0
+        app.orbit(d_yaw=15.0)
+        assert app._renderer is None  # accumulation restarted
+
+    def test_checkpoint_roundtrip(self, tmp_path):
+        app = App(small_cfg(sampling_mode="radiosity", mc_samples=8,
+                            radiosity_iterations=2))
+        app.render()
+        path = str(tmp_path / "ckpt.npz")
+        app.save_checkpoint(path)
+
+        app2 = App(small_cfg(sampling_mode="radiosity", mc_samples=8,
+                             radiosity_iterations=2))
+        app2.prepare()
+        app2.load_checkpoint(path)
+        np.testing.assert_array_equal(
+            np.asarray(app2._renderer.film.accum),
+            np.asarray(app._renderer.film.accum),
+        )
+
+    def test_unsupported_format_raises(self):
+        app = App(small_cfg(scene="scene.xyz"))
+        with pytest.raises(ValueError, match="unsupported scene format"):
+            app.load_scene()
+
+    def test_topk_mode(self):
+        app = App(small_cfg(sampling_mode="topk", top_k=8, mc_samples=8,
+                            radiosity_iterations=3))
+        app.prepare()
+        # at most top_k cells per primitive remain nonzero
+        pdf = np.asarray(app.cdfs.pdf)
+        assert (np.count_nonzero(pdf, axis=1) <= 8).all()
+
+
+class TestConfig:
+    def test_json_roundtrip(self):
+        cfg = Config(spp=77, sampling_mode="mis", sigma_range=0.4)
+        cfg2 = Config.from_json(cfg.to_json())
+        assert cfg2.spp == 77
+        assert cfg2.sampling_mode == "mis"
+        assert cfg2.sigma_range == 0.4
+
+    def test_bad_mode_raises(self):
+        with pytest.raises(ValueError, match="unknown sampling mode"):
+            _ = Config(sampling_mode="nonsense").sampling_mode_id
+
+    def test_cli_parsing(self):
+        import argparse
+
+        p = argparse.ArgumentParser()
+        Config.add_cli_args(p)
+        args = p.parse_args(
+            ["--spp", "9", "--sampling-mode", "mis",
+             "--camera-origin", "1", "2", "3"]
+        )
+        cfg = Config.from_cli_args(args)
+        assert cfg.spp == 9
+        assert cfg.sampling_mode == "mis"
+        assert cfg.camera_origin == (1.0, 2.0, 3.0)
