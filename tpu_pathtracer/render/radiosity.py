@@ -127,13 +127,10 @@ def _pair_culling(geom: Geometry, rows):
 
 
 @partial(jax.jit, static_argnames=("row_chunk",))
-def analytic_form_factors(geom: Geometry, row_chunk: int = 64):
-    """Point-to-point form factors with centroid visibility
-    (calculate_form_factors_kernel, form_factors.h:354-404)."""
+def _analytic_ff_rows(geom: Geometry, row_ids, row_chunk: int,
+                      occlusion_packs=None):
     n = geom.num_prims
-    rc = min(row_chunk, n)
-    npad = ((n + rc - 1) // rc) * rc
-    row_ids = jnp.where(jnp.arange(npad) < n, jnp.arange(npad), 0)
+    rc = row_chunk
 
     def do_rows(rows):
         dn, dist, cos_i, cos_j, facing = _pair_culling(geom, rows)
@@ -142,13 +139,14 @@ def analytic_form_factors(geom: Geometry, row_chunk: int = 64):
             geom.centroid[rows][:, None, :] + ni * 1e-4
         ) * jnp.ones_like(dn)
         flat = lambda x: x.reshape(-1, *x.shape[2:])
-        blocked = occluded(
+        blocked = _occluded_dispatch(
             geom,
             flat(o),
             flat(dn),
             flat(dist - 2e-4),
-            exclude_a=jnp.repeat(rows, n),
-            exclude_b=jnp.tile(jnp.arange(n), rows.shape[0]),
+            jnp.repeat(rows, n),
+            jnp.tile(jnp.arange(n), rows.shape[0]),
+            occlusion_packs,
         ).reshape(dist.shape)
         ff = (
             cos_i * cos_j * geom.area[None, :] / (PI * dist * dist)
@@ -156,8 +154,27 @@ def analytic_form_factors(geom: Geometry, row_chunk: int = 64):
         ff = jnp.where(facing & ~blocked, jnp.maximum(ff, 0.0), 0.0)
         return ff
 
-    ff = jax.lax.map(do_rows, row_ids.reshape(-1, rc))
-    return ff.reshape(npad, n)[:n]
+    return jax.lax.map(do_rows, row_ids.reshape(-1, rc))
+
+
+def analytic_form_factors(geom: Geometry, row_chunk: int = 64,
+                          occlusion_packs=None):
+    """Point-to-point form factors with centroid visibility
+    (calculate_form_factors_kernel, form_factors.h:354-404). Dispatched
+    in bounded row groups like mc_form_factors."""
+    n = geom.num_prims
+    rc = min(row_chunk, n)
+    npad = ((n + rc - 1) // rc) * rc
+    rows_per_call = max(rc, 64 * rc)
+    npad2 = ((npad + rows_per_call - 1) // rows_per_call) * rows_per_call
+    row_ids = jnp.where(jnp.arange(npad2) < n, jnp.arange(npad2), 0)
+    parts = [
+        _analytic_ff_rows(
+            geom, row_ids[s:s + rows_per_call], rc, occlusion_packs
+        ).reshape(rows_per_call, n)
+        for s in range(0, npad2, rows_per_call)
+    ]
+    return jnp.concatenate(parts)[:n]
 
 
 def _occluded_dispatch(geom, o, d, maxd, ex_a, ex_b, occlusion_packs):
@@ -333,10 +350,35 @@ def mc_form_factors(
     rc = min(row_chunk, n)
     npad = ((n + rc - 1) // rc) * rc
     row_ids = jnp.where(jnp.arange(npad) < n, jnp.arange(npad), 0)
-    ff, gc, gv = mc_form_factors_rows(
-        geom, key, row_ids, n_samples=n_samples, row_chunk=rc,
-        occlusion_packs=occlusion_packs,
-    )
+
+    # Bound each device program's runtime: sustained single-program
+    # executions beyond ~60s get killed by infrastructure watchdogs, so
+    # the N^2 sweep is dispatched in groups of row chunks (same math,
+    # multiple launches).
+    budget_chunk_samples = 1024
+    chunks_per_call = max(1, budget_chunk_samples // max(n_samples, 1))
+    rows_per_call = chunks_per_call * rc
+    if npad <= rows_per_call:
+        ff, gc, gv = mc_form_factors_rows(
+            geom, key, row_ids, n_samples=n_samples, row_chunk=rc,
+            occlusion_packs=occlusion_packs,
+        )
+        return ff[:n], gc[:n], gv[:n]
+
+    npad2 = ((npad + rows_per_call - 1) // rows_per_call) * rows_per_call
+    row_ids = jnp.where(jnp.arange(npad2) < n, jnp.arange(npad2), 0)
+    parts = []
+    for start in range(0, npad2, rows_per_call):
+        parts.append(
+            mc_form_factors_rows(
+                geom, key, row_ids[start:start + rows_per_call],
+                n_samples=n_samples, row_chunk=rc,
+                occlusion_packs=occlusion_packs,
+            )
+        )
+    ff = jnp.concatenate([p[0] for p in parts])
+    gc = jnp.concatenate([p[1] for p in parts])
+    gv = jnp.concatenate([p[2] for p in parts])
     return ff[:n], gc[:n], gv[:n]
 
 
@@ -445,7 +487,10 @@ def solve_radiosity(
             occlusion_packs=occlusion_packs,
         )
     else:
-        ff = analytic_form_factors(geom, row_chunk=max(row_chunk, 32))
+        ff = analytic_form_factors(
+            geom, row_chunk=max(row_chunk, 32),
+            occlusion_packs=occlusion_packs,
+        )
         grid_counts = jnp.zeros((geom.num_prims, GRID_SIZE), jnp.float32)
         rad_grid = jnp.zeros((geom.num_prims, GRID_SIZE, 3), jnp.float32)
 
