@@ -40,12 +40,21 @@ ATTR_COLS = 16       # packed attribute width
 _BIG_ID = 2**30
 
 
+def _tri_pad(t: int) -> int:
+    """Sublane-aligned triangle padding: small scenes pad to a multiple of
+    8 (the f32 sublane tile) instead of a full 128-chunk — a 32-triangle
+    Cornell box then costs 32 sublanes of kernel work, not 128."""
+    if t <= TRI_CHUNK:
+        return max(8, ((t + 7) // 8) * 8)
+    return ((t + TRI_CHUNK - 1) // TRI_CHUNK) * TRI_CHUNK
+
+
 def pack_triangles(geom: Geometry) -> jax.Array:
     """(Tpad, 16) packed intersection constants: inv (9) + c = inv@v0 (3)."""
     inv = np.asarray(geom.tri_inv)                    # (T, 3, 3)
     v0 = np.asarray(geom.tri_v0)                      # (T, 3)
     t = inv.shape[0]
-    tpad = ((t + TRI_CHUNK - 1) // TRI_CHUNK) * TRI_CHUNK
+    tpad = _tri_pad(t)
     out = np.zeros((tpad, 16), np.float32)
     out[:t, 0:9] = inv.reshape(t, 9)
     out[:t, 9:12] = np.einsum("tij,tj->ti", inv, v0)
@@ -61,7 +70,7 @@ def pack_attributes(geom: Geometry) -> jax.Array:
     prim_id is exact in f32 for < 2^24 primitives."""
     prim = np.asarray(geom.tri_prim)
     t = prim.shape[0]
-    tpad = ((t + TRI_CHUNK - 1) // TRI_CHUNK) * TRI_CHUNK
+    tpad = _tri_pad(t)
     out = np.zeros((ATTR_COLS, tpad), np.float32)
     out[0:3, :t] = np.asarray(geom.normal)[prim].T
     out[3:6, :t] = np.asarray(geom.albedo)[prim].T
@@ -73,10 +82,11 @@ def pack_attributes(geom: Geometry) -> jax.Array:
 
 def _row_closest(tri_ref, n_chunks, t_min, rox, roy, roz, rdx, rdy, rdz):
     """Closest (t, triangle id) for one (1, 128) lane-row of rays."""
+    csize = min(TRI_CHUNK, tri_ref.shape[0])
 
     def chunk(c, carry):
         t_cur, id_cur = carry
-        blk = tri_ref[pl.ds(c * TRI_CHUNK, TRI_CHUNK), :]  # (128, 16)
+        blk = tri_ref[pl.ds(c * csize, csize), :]          # (csize, 16)
 
         def col(k):
             return blk[:, k][:, None]                       # (128, 1)
@@ -99,7 +109,7 @@ def _row_closest(tri_ref, n_chunks, t_min, rox, roy, roz, rdx, rdy, rdz):
         tmin_c = jnp.min(tt, axis=0, keepdims=True)          # (1, 128)
         ids = (
             jax.lax.broadcasted_iota(jnp.int32, tt.shape, 0)
-            + c * TRI_CHUNK
+            + c * csize
         )
         idc = jnp.min(
             jnp.where(tt == tmin_c, ids, _BIG_ID), axis=0, keepdims=True
@@ -116,7 +126,7 @@ def _row_closest(tri_ref, n_chunks, t_min, rox, roy, roz, rdx, rdy, rdz):
 
 
 def _kernel(tri_ref, ox, oy, oz, dx, dy, dz, tmin_ref, t_out, id_out):
-    n_chunks = tri_ref.shape[0] // TRI_CHUNK
+    n_chunks = tri_ref.shape[0] // min(TRI_CHUNK, tri_ref.shape[0])
     t_min = tmin_ref[0]
     for r in range(ROWS_PER_STEP):
         t_fin, id_fin = _row_closest(
@@ -135,9 +145,11 @@ def _row_closest_full(tri_ref, attr_ref, n_chunks, t_min,
     (128, 128) f32 matmul (MXU, HIGHEST precision -> exact for one-hot)
     and blended into the running record."""
 
+    csize = min(TRI_CHUNK, tri_ref.shape[0])
+
     def chunk(c, carry):
         t_cur, id_cur, attr_cur = carry
-        blk = tri_ref[pl.ds(c * TRI_CHUNK, TRI_CHUNK), :]  # (128, 16)
+        blk = tri_ref[pl.ds(c * csize, csize), :]          # (csize, 16)
 
         def col(k):
             return blk[:, k][:, None]                       # (128, 1)
@@ -160,13 +172,13 @@ def _row_closest_full(tri_ref, attr_ref, n_chunks, t_min,
         tmin_c = jnp.min(tt, axis=0, keepdims=True)          # (1, 128)
         ids = (
             jax.lax.broadcasted_iota(jnp.int32, tt.shape, 0)
-            + c * TRI_CHUNK
+            + c * csize
         )
         idc = jnp.min(
             jnp.where(tt == tmin_c, ids, _BIG_ID), axis=0, keepdims=True
         )
         onehot = ((ids == idc) & (tt == tmin_c)).astype(jnp.float32)
-        attr_blk = attr_ref[:, pl.ds(c * TRI_CHUNK, TRI_CHUNK)]  # (16,128)
+        attr_blk = attr_ref[:, pl.ds(c * csize, csize)]    # (16, csize)
         attrs_c = jax.lax.dot_general(
             attr_blk, onehot,
             dimension_numbers=(((1,), (0,)), ((), ())),
@@ -188,7 +200,7 @@ def _row_closest_full(tri_ref, attr_ref, n_chunks, t_min,
 
 def _kernel_full(tri_ref, attr_ref, ox, oy, oz, dx, dy, dz, tmin_ref,
                  t_out, id_out, attr_out):
-    n_chunks = tri_ref.shape[0] // TRI_CHUNK
+    n_chunks = tri_ref.shape[0] // min(TRI_CHUNK, tri_ref.shape[0])
     t_min = tmin_ref[0]
     for r in range(ROWS_PER_STEP):
         t_fin, id_fin, attrs = _row_closest_full(
@@ -596,7 +608,8 @@ def _kernel_anyhit(tri_ref, prim_ref, ox, oy, oz, dx, dy, dz, maxd,
                    ex_a, ex_b, blocked_out):
     """Per-ray any-hit with two excluded primitive ids
     (visibility_test_anyhit parity, form_factors.h:144-209)."""
-    n_chunks = tri_ref.shape[0] // TRI_CHUNK
+    csize = min(TRI_CHUNK, tri_ref.shape[0])
+    n_chunks = tri_ref.shape[0] // csize
 
     for r in range(ROWS_PER_STEP):
         rox, roy, roz = ox[r:r + 1, :], oy[r:r + 1, :], oz[r:r + 1, :]
@@ -606,7 +619,7 @@ def _kernel_anyhit(tri_ref, prim_ref, ox, oy, oz, dx, dy, dz, maxd,
         reb = ex_b[r:r + 1, :]
 
         def chunk(c, blocked):
-            blk = tri_ref[pl.ds(c * TRI_CHUNK, TRI_CHUNK), :]
+            blk = tri_ref[pl.ds(c * csize, csize), :]
 
             def col(k):
                 return blk[:, k][:, None]
@@ -620,9 +633,9 @@ def _kernel_anyhit(tri_ref, prim_ref, ox, oy, oz, dx, dy, dz, maxd,
             v = (
                 col(3) * rox + col(4) * roy + col(5) * roz - col(10)
             ) + t * (col(3) * rdx + col(4) * rdy + col(5) * rdz)
-            prim = prim_ref[pl.ds(c * TRI_CHUNK, TRI_CHUNK), :][:, 0][
+            prim = prim_ref[pl.ds(c * csize, csize), :][:, 0][
                 :, None
-            ]                                                   # (128, 1)
+            ]                                                   # (csize, 1)
             ok = (
                 (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
                 & (t > 1e-5) & (t < rmax)
@@ -643,7 +656,7 @@ def pack_prim_ids(geom: Geometry) -> jax.Array:
     (padding rows get -2, matching no real primitive)."""
     prim = np.asarray(geom.tri_prim)
     t = prim.shape[0]
-    tpad = ((t + TRI_CHUNK - 1) // TRI_CHUNK) * TRI_CHUNK
+    tpad = _tri_pad(t)
     out = np.full((tpad, 16), -2.0, np.float32)
     out[:t, 0] = prim
     return jnp.asarray(out)
