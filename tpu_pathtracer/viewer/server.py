@@ -111,18 +111,30 @@ def make_handler(state: ViewerState):
                 elif url.path == "/frame.png":
                     self._send(state.frame_png(), "image/png")
                 elif url.path == "/heatmap.png":
-                    from .heatmap import grid_heatmap
+                    # ?src=radiosity|counts — GridVisualizationMode
+                    # parity (RadiosityDistribution vs VisibilityCount,
+                    # application_state.h:54-57); ?topk=K overlays the
+                    # top-K cells only.
+                    from .heatmap import grid_heatmap, top_k_overlay
 
                     prim = int(q.get("prim", 0))
+                    src = q.get("src", "radiosity")
+                    topk = int(q.get("topk", 0))
                     with state.lock:
                         if app.cdfs is None:
                             app.precompute_cdfs()
-                        pdf = np.asarray(app.cdfs.pdf)
+                        if src == "counts":
+                            pdf = np.asarray(app.solution.grid_counts)
+                        else:
+                            pdf = np.asarray(app.cdfs.pdf)
                     from ..utils.png import png_bytes
 
-                    self._send(
-                        png_bytes(grid_heatmap(pdf, prim)), "image/png"
+                    img = (
+                        top_k_overlay(pdf, prim, topk)
+                        if topk > 0
+                        else grid_heatmap(pdf, prim)
                     )
+                    self._send(png_bytes(img), "image/png")
                 elif url.path == "/profiler":
                     self._send(app.profiler.summary())
                 elif url.path == "/orbit":
