@@ -123,7 +123,8 @@ class TestCulled:
         """The XLA pre-pass must never cull a cluster a ray hits."""
         geom = subdivide(cornell_box("quads"), 2).build()
         cs = ip.CulledScene(geom)
-        o, d = rays(1024, seed=9)
+        n = ip.ray_batch_multiple()
+        o, d = rays(n, seed=9)
         mask = ip._cluster_mask(
             cs.cluster_min, cs.cluster_max, o, d, 1e-4
         )
@@ -136,6 +137,6 @@ class TestCulled:
         )
         m = np.asarray(hit.valid)
         clusters = (ridx // ip.TRI_CHUNK)[m]
-        tiles = (np.arange(1024) // ip.RAYS_PER_TILE)[m]
+        tiles = (np.arange(n) // ip.RAYS_PER_TILE)[m]
         flat = np.asarray(mask).reshape(mask.shape[0], -1)
         assert all(flat[t, c] > 0 for t, c in zip(tiles, clusters))

@@ -35,7 +35,12 @@ from ..scene.mesh import Geometry
 
 TRI_CHUNK = 128      # triangles per inner-loop chunk (sublane dim)
 RAY_TILE = 128       # rays per lane row
-ROWS_PER_STEP = 8    # lane rows per grid step (f32 sublane tiling)
+ROWS_PER_STEP = 32   # lane rows per grid step (amortizes step overhead)
+
+
+def ray_batch_multiple() -> int:
+    """Pallas ray batches must be a multiple of this many rays."""
+    return RAY_TILE * ROWS_PER_STEP
 ATTR_COLS = 16       # packed attribute width
 _BIG_ID = 2**30
 
@@ -213,6 +218,22 @@ def _kernel_full(tri_ref, attr_ref, ox, oy, oz, dx, dy, dz, tmin_ref,
         attr_out[:, r, :] = attrs[:11, :]
 
 
+def _pad_rays(*arrays):
+    """Pad ray-batch arrays to the kernel batch multiple; returns
+    (padded_arrays, original_size). Padding lanes trace dummy rays whose
+    outputs are sliced away."""
+    b = arrays[0].shape[0]
+    m = RAY_TILE * ROWS_PER_STEP
+    pad = (-b) % m
+    if pad == 0:
+        return arrays, b
+    out = []
+    for a in arrays:
+        fill = jnp.ones((pad,) + a.shape[1:], a.dtype)
+        out.append(jnp.concatenate([a, fill]))
+    return tuple(out), b
+
+
 def _ray_comps(o, d, rows):
     return [
         o[:, 0].reshape(rows, RAY_TILE),
@@ -233,10 +254,9 @@ def _ray_spec():
 
 @partial(jax.jit, static_argnames=())
 def pallas_closest_tuv(tri_pack: jax.Array, o, d, t_min=1e-4):
-    """(t, tri_idx) closest hit. B must be a multiple of 1024."""
+    """(t, tri_idx) closest hit (any batch size; padded internally)."""
+    (o, d), b0 = _pad_rays(o, d)
     b = o.shape[0]
-    step = RAY_TILE * ROWS_PER_STEP
-    assert b % step == 0, f"ray batch {b} not a multiple of {step}"
     rows = b // RAY_TILE
 
     ray_spec = _ray_spec()
@@ -252,16 +272,15 @@ def pallas_closest_tuv(tri_pack: jax.Array, o, d, t_min=1e-4):
             jax.ShapeDtypeStruct((rows, RAY_TILE), jnp.int32),
         ],
     )(tri_pack, *_ray_comps(o, d, rows), jnp.full((1,), t_min, jnp.float32))
-    return t.reshape(b), idx.reshape(b)
+    return t.reshape(b)[:b0], idx.reshape(b)[:b0]
 
 
 @partial(jax.jit, static_argnames=())
 def pallas_closest_record(tri_pack, attr_pack, o, d, t_min=1e-4):
     """Full hit query: (t, tri_idx, attrs) with attrs (11, B) f32 rows
     [nx ny nz ar ag ab er eg eb material prim]."""
+    (o, d), b0 = _pad_rays(o, d)
     b = o.shape[0]
-    step = RAY_TILE * ROWS_PER_STEP
-    assert b % step == 0, f"ray batch {b} not a multiple of {step}"
     rows = b // RAY_TILE
 
     ray_spec = _ray_spec()
@@ -288,7 +307,11 @@ def pallas_closest_record(tri_pack, attr_pack, o, d, t_min=1e-4):
         tri_pack, attr_pack, *_ray_comps(o, d, rows),
         jnp.full((1,), t_min, jnp.float32),
     )
-    return t.reshape(b), idx.reshape(b), attrs.reshape(11, b)
+    return (
+        t.reshape(b)[:b0],
+        idx.reshape(b)[:b0],
+        attrs.reshape(11, b)[:, :b0],
+    )
 
 
 def pallas_closest_hit(geom: Geometry, tri_pack, o, d, t_min=1e-4,
@@ -665,22 +688,27 @@ def pack_prim_ids(geom: Geometry) -> jax.Array:
 @partial(jax.jit, static_argnames=())
 def pallas_occluded(tri_pack, prim_pack, o, d, max_dist,
                     exclude_a=None, exclude_b=None):
-    """Blocked mask for ray segments; B must be a multiple of 1024.
+    """Blocked mask for ray segments (any batch size; padded internally).
 
     Drop-in for ops.intersect.occluded (eps=1e-5 any-hit window with two
     excluded logical primitives)."""
-    b = o.shape[0]
-    step = RAY_TILE * ROWS_PER_STEP
-    assert b % step == 0, f"ray batch {b} not a multiple of {step}"
-    rows = b // RAY_TILE
     if exclude_a is None:
-        exclude_a = jnp.full((b,), -1, jnp.int32)
+        exclude_a = jnp.full((o.shape[0],), -1, jnp.int32)
     if exclude_b is None:
-        exclude_b = jnp.full((b,), -1, jnp.int32)
+        exclude_b = jnp.full((o.shape[0],), -1, jnp.int32)
+    max_dist = jnp.asarray(max_dist, jnp.float32)
+    (o, d, max_dist, exclude_a, exclude_b), b0 = _pad_rays(
+        o, d, max_dist, exclude_a, exclude_b
+    )
+    # padded lanes: max_dist fill of 1.0 could report blocked; force 0
+    b = o.shape[0]
+    lane_ok = jnp.arange(b) < b0
+    max_dist = jnp.where(lane_ok, max_dist, 0.0)
+    rows = b // RAY_TILE
 
     ray_spec = _ray_spec()
     extra = [
-        jnp.asarray(max_dist, jnp.float32).reshape(rows, RAY_TILE),
+        max_dist.reshape(rows, RAY_TILE),
         exclude_a.astype(jnp.float32).reshape(rows, RAY_TILE),
         exclude_b.astype(jnp.float32).reshape(rows, RAY_TILE),
     ]
@@ -695,7 +723,7 @@ def pallas_occluded(tri_pack, prim_pack, o, d, max_dist,
         out_specs=ray_spec,
         out_shape=jax.ShapeDtypeStruct((rows, RAY_TILE), jnp.int32),
     )(tri_pack, prim_pack, *_ray_comps(o, d, rows), *extra)
-    return blocked.reshape(b).astype(bool)
+    return blocked.reshape(b)[:b0].astype(bool)
 
 
 # ---------------------------------------------------------------------------
@@ -832,9 +860,9 @@ def _kernel_culled_dma(count_ref, list_ref, tri_hbm,
 def pallas_closest_tuv_dma(tri_pack, cluster_min, cluster_max, o, d,
                            t_min=1e-4):
     """(t, reordered tri idx) closest hit; triangles stream from HBM.
-    Works for arbitrary scene sizes; B must be a multiple of 1024."""
+    Works for arbitrary scene sizes and batch sizes."""
+    (o, d), b0 = _pad_rays(o, d)
     b = o.shape[0]
-    assert b % RAYS_PER_TILE == 0
     rows = b // RAY_TILE
     tiles = b // RAYS_PER_TILE
 
@@ -869,4 +897,4 @@ def pallas_closest_tuv_dma(tri_pack, cluster_min, cluster_max, o, d,
         *_ray_comps(o, d, rows),
         jnp.full((1,), t_min, jnp.float32),
     )
-    return t.reshape(b), idx.reshape(b)
+    return t.reshape(b)[:b0], idx.reshape(b)[:b0]

@@ -184,9 +184,11 @@ def _occluded_dispatch(geom, o, d, maxd, ex_a, ex_b, occlusion_packs):
         return occluded(geom, o, d, maxd, exclude_a=ex_a, exclude_b=ex_b)
     from ..ops.intersect_pallas import pallas_occluded
 
+    from ..ops.intersect_pallas import ray_batch_multiple
+
     tri_pack, prim_pack = occlusion_packs
     b = o.shape[0]
-    pad = (-b) % 1024
+    pad = (-b) % ray_batch_multiple()
     if pad:
         zeros3 = jnp.zeros((pad, 3), o.dtype)
         o = jnp.concatenate([o, zeros3])

@@ -76,8 +76,10 @@ def render_pass(
     npix = s.num_pixels
     chunk = min(s.ray_chunk, npix)
     if tri_pack is not None or culled is not None:
-        # the Pallas intersectors want ray batches in 1024-multiples
-        chunk = max(1024, (chunk // 1024) * 1024)
+        from ..ops.intersect_pallas import ray_batch_multiple
+
+        m = ray_batch_multiple()
+        chunk = max(m, (chunk // m) * m)
     npad = ((npix + chunk - 1) // chunk) * chunk
     pix = jnp.arange(npad, dtype=jnp.int32)
     # Padded lanes trace pixel 0 (wasted but static-shape); their results
