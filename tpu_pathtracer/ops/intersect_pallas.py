@@ -370,7 +370,7 @@ def pallas_closest_hit(geom: Geometry, tri_pack, o, d, t_min=1e-4,
 # fraction of clusters; incoherent bounce tiles degrade gracefully toward
 # brute force. Handles scenes up to VMEM capacity (~150k triangles).
 
-RAYS_PER_TILE = RAY_TILE * ROWS_PER_STEP  # 1024: mask granularity
+RAYS_PER_TILE = RAY_TILE * ROWS_PER_STEP  # cull-mask granularity (rays/tile)
 
 
 def morton_order(geom: Geometry) -> np.ndarray:
