@@ -45,7 +45,6 @@ from .scene.mesh import Geometry, PrimList, convert_quads_to_triangles, subdivid
 from .scene.obj_loader import load_obj
 from .utils.config import Config
 from .utils.logger import get_logger
-from .utils.png import write_png_bottom_up
 from .utils.profiler import Profiler
 
 log = get_logger("App")

@@ -15,13 +15,13 @@ per-primitive PDF normalization feeding precompute-CDFs-from-filtered.
 
 from __future__ import annotations
 
-import math
+
 from functools import partial
 
 import jax
 import jax.numpy as jnp
 
-from ..core.constants import GRID_RES, GRID_SIZE
+from ..core.constants import GRID_RES
 from ..core.math_utils import luminance
 
 KERNEL_RADIUS = 2          # 5x5 (grid_filter.h:27)

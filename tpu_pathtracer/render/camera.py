@@ -11,7 +11,7 @@ whole camera can be traced through jit and donated between frames.
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass, replace
+from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp

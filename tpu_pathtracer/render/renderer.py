@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core import rng
-from ..core.constants import SAMPLING_BSDF, SAMPLING_MODE_NAMES
+from ..core.constants import SAMPLING_BSDF
 from ..ops.guiding import CDFPack
 from ..ops.tonemap import tonemap_radiosity
 from ..scene.mesh import Geometry

@@ -23,7 +23,7 @@ makes the reference's quad formulas exact for triangles too:
 
 from __future__ import annotations
 
-from dataclasses import dataclass, replace
+from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp

@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core.constants import SAMPLING_BSDF
-from ..core.math_utils import cosine_sample_hemisphere, dot
+from ..core.math_utils import cosine_sample_hemisphere
 from ..ops.guiding import sample_grid
 from ..render.integrator import _intersect
 
