@@ -45,6 +45,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "|B(S1)-B(S2)| instead of the integrator output")
     p.add_argument("--delta-boost", type=float, default=1.0,
                    help="brightness boost for --history-delta")
+    p.add_argument("--kernel-profile", action="store_true",
+                   help="print the per-phase bounce timing breakdown "
+                        "(the reference's KernelProfileData panel)")
     p.add_argument("--config-json", type=str, default="",
                    help="load Config from a JSON file (flags override)")
     p.add_argument("--verbose", action="store_true")
@@ -89,6 +92,23 @@ def main(argv=None) -> int:
         app.save_checkpoint(args.checkpoint)
     if args.profile:
         print(app.profiler.summary())
+    if args.kernel_profile:
+        import jax.numpy as jnp
+
+        from .utils.kernel_profile import format_profile, kernel_profile
+
+        cam = app.camera_ctrl.build()
+        n = min(1 << 14, cfg.width * cfg.height)
+        x = jnp.arange(n, dtype=jnp.float32) % cfg.width
+        y = jnp.arange(n, dtype=jnp.float32) // cfg.width
+        o, d = cam.get_rays(
+            (x + 0.5) / cfg.width, (y + 0.5) / cfg.height
+        )
+        prof = kernel_profile(
+            app.geom, o, d, cdfs=app.cdfs, bvh=app.bvh,
+            tri_pack=app.tri_pack, attr_pack=app.attr_pack,
+        )
+        print(format_profile(prof))
     return 0
 
 
