@@ -192,6 +192,7 @@ def mc_form_factors_sharded(
     mesh: Mesh | None = None,
     n_samples: int = 64,
     row_chunk: int = 16,
+    occlusion_packs=None,
 ):
     """(N, N) MC form factors with receiver rows sharded over the mesh.
 
@@ -222,6 +223,7 @@ def mc_form_factors_sharded(
             rows_band,
             n_samples=n_samples,
             row_chunk=rc,
+            occlusion_packs=occlusion_packs,
         )
 
     ff, gc, gv = jax.jit(
