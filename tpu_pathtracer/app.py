@@ -340,6 +340,7 @@ class App:
                 ),
                 spp_per_pass=min(spp_pass, cfg.spp),
                 ray_chunk=cfg.ray_chunk,
+                sort_rays=cfg.sort_rays,
             )
             if cfg.num_tiles > 1:
                 from .parallel.sharding import TiledRenderer

@@ -297,6 +297,26 @@ def trace(
     return radiance, stats
 
 
+def _morton30(p, lo, inv_ext):
+    """30-bit Morton code of points p within [lo, lo + 1/inv_ext)."""
+    q = jnp.clip((p - lo) * inv_ext * 1023.0, 0.0, 1023.0).astype(
+        jnp.uint32
+    )
+
+    def expand(v):
+        v = (v | (v << 16)) & 0x030000FF
+        v = (v | (v << 8)) & 0x0300F00F
+        v = (v | (v << 4)) & 0x030C30C3
+        v = (v | (v << 2)) & 0x09249249
+        return v
+
+    return (
+        (expand(q[..., 0]) << 2)
+        | (expand(q[..., 1]) << 1)
+        | expand(q[..., 2])
+    ).astype(jnp.int32)
+
+
 def trace_primary(geom: Geometry, origins, directions):
     """Primary-hit query used by the radiosity visualization integrator
     (render_radiosity, integrator.h:460-504) and by picking."""
@@ -321,6 +341,7 @@ def trace_wavefront(
     tri_pack: jax.Array | None = None,
     attr_pack: jax.Array | None = None,
     culled=None,
+    sort_rays: bool = False,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Persistent wavefront with same-pixel respawn.
 
@@ -333,6 +354,14 @@ def trace_wavefront(
     per-thread path loop (SURVEY.md §7): the classic sort/compaction
     wavefront pays a permutation per bounce, the same-pixel respawn pays
     only the tail of the very last sample per lane.
+
+    With sort_rays=True, lanes are additionally re-sorted every iteration
+    by the Morton code of their ray origin (dead lanes last) — the north
+    star's "ray sorting": bounce batches regain the spatial coherence the
+    cluster-culled intersector needs, at the cost of one argsort + state
+    gather per iteration (cheap on TPU). Lane->pixel binding travels with
+    the lanes and results are un-permuted before returning, so callers
+    see the original lane order either way.
 
     RNG is keyed per (pass, iteration, lane): estimates are reproducible
     for a fixed chunk layout but differ from the per-depth scan integrator
@@ -347,11 +376,13 @@ def trace_wavefront(
 
     b = pixel_x.shape[0]
     mis_frac = jnp.asarray(mis_bsdf_fraction, jnp.float32)
-    px = pixel_x.astype(jnp.float32)
-    py = pixel_y.astype(jnp.float32)
     max_iters = spp * max_depth + max_depth
+    if sort_rays:
+        scene_lo = jnp.min(geom.corners.reshape(-1, 3), axis=0)
+        scene_hi = jnp.max(geom.corners.reshape(-1, 3), axis=0)
+        inv_ext = 1.0 / jnp.maximum(scene_hi - scene_lo, 1e-6)
 
-    def spawn(iter_key, mask, o, d):
+    def spawn(iter_key, mask, o, d, px, py):
         jit2 = jax.random.uniform(
             jax.random.fold_in(iter_key, 101), (b, 2)
         )
@@ -364,11 +395,13 @@ def trace_wavefront(
         )
 
     def cond(state):
-        _, _, _, _, alive, _, _, rays, it = state
+        alive = state[4]
+        it = state[-1]
         return jnp.any(alive) & (it < max_iters)
 
     def body(state):
-        o, d, beta, total, alive, depth, done, rays, it = state
+        (o, d, beta, total, alive, depth, done, px, py, orig,
+         rays, it) = state
         iter_key = jax.random.fold_in(key, it)
         rays = rays + jnp.sum(alive)
 
@@ -387,17 +420,41 @@ def trace_wavefront(
         live = live & (depth < max_depth)
 
         respawn = alive & ~live & (done < spp)
-        o, d = spawn(iter_key, respawn, o, d)
+        o, d = spawn(iter_key, respawn, o, d, px, py)
         beta = jnp.where(respawn[:, None], 1.0, beta)
         depth = jnp.where(respawn, 0, depth)
         done = done + respawn.astype(jnp.int32)
         alive = live | respawn
-        return (o, d, beta, total, alive, depth, done, rays, it + 1)
 
+        if sort_rays:
+            # 3-bit direction octant above 27 bits of origin Morton:
+            # culling coherence needs rays that start together AND point
+            # the same way.
+            octant = (
+                (d[:, 0] > 0).astype(jnp.int32)
+                + 2 * (d[:, 1] > 0).astype(jnp.int32)
+                + 4 * (d[:, 2] > 0).astype(jnp.int32)
+            )
+            code = (octant << 27) | (
+                _morton30(o, scene_lo, inv_ext) >> 3
+            )
+            code = jnp.where(alive, code, jnp.int32(2**30))
+            perm = jnp.argsort(code)
+            o, d, beta, total = (
+                o[perm], d[perm], beta[perm], total[perm]
+            )
+            alive, depth, done = alive[perm], depth[perm], done[perm]
+            px, py, orig = px[perm], py[perm], orig[perm]
+
+        return (o, d, beta, total, alive, depth, done, px, py, orig,
+                rays, it + 1)
+
+    px0 = pixel_x.astype(jnp.float32)
+    py0 = pixel_y.astype(jnp.float32)
     o0 = jnp.zeros((b, 3), jnp.float32)
     d0 = jnp.ones((b, 3), jnp.float32)
     o0, d0 = spawn(jax.random.fold_in(key, 0x5EED), jnp.ones((b,), bool),
-                   o0, d0)
+                   o0, d0, px0, py0)
     state = (
         o0,
         d0,
@@ -406,10 +463,15 @@ def trace_wavefront(
         jnp.ones((b,), bool),
         jnp.zeros((b,), jnp.int32),
         jnp.ones((b,), jnp.int32),   # sample 0 already spawned
+        px0,
+        py0,
+        jnp.arange(b, dtype=jnp.int32),
         jnp.zeros((), jnp.int32),
         jnp.zeros((), jnp.int32),
     )
-    (_, _, _, total, _, _, _, rays, it) = jax.lax.while_loop(
+    (_, _, _, total, _, _, _, _, _, orig, rays, it) = jax.lax.while_loop(
         cond, body, state
     )
+    if sort_rays:
+        total = total[jnp.argsort(orig)]
     return total, rays, it

@@ -44,6 +44,7 @@ class RenderSettings:
     spp_per_pass: int = 1
     ray_chunk: int = 1 << 16     # rays in flight per lax.map step
     wavefront: bool = True       # same-pixel-respawn wavefront loop
+    sort_rays: bool = False      # Morton-sort lanes per bounce (big scenes)
 
     @property
     def num_pixels(self) -> int:
@@ -113,6 +114,7 @@ def render_pass(
                 tri_pack=tri_pack,
                 attr_pack=attr_pack,
                 culled=culled,
+                sort_rays=s.sort_rays,
             )
             return radiance_sum, rays
 

@@ -61,7 +61,8 @@ class Config:
     #                                  filtered_radiosity | filtered_formfactor
 
     # Execution
-    backend: str = "auto"            # auto | brute | pallas | bvh
+    backend: str = "auto"            # auto | brute | pallas | culled | bvh
+    sort_rays: bool = False          # Morton+octant lane sorting per bounce
     seed: int = 2023
     ray_chunk: int = 1 << 16
     num_tiles: int = 0               # >1: shard_map multi-chip tiling
