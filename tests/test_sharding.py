@@ -104,3 +104,29 @@ class TestShardedFormFactors:
         zu = np.asarray(ff_u) == 0
         assert (zs == zu).mean() > 0.9
         np.testing.assert_allclose(np.diag(np.asarray(ff_s)), 0.0)
+
+
+class TestTiledGuided:
+    def test_tiled_mis_render(self, scene):
+        """Guided MIS sampling through the multi-chip tiled path."""
+        from tpu_pathtracer.core.constants import SAMPLING_MIS
+        from tpu_pathtracer.ops.guiding import build_cdfs
+        import jax.numpy as jnp
+
+        geom, cam = scene
+        cdfs = build_cdfs(jnp.ones((geom.num_prims, 256)))
+        s = RenderSettings(
+            width=32, height=32, max_depth=3, spp_per_pass=8,
+            ray_chunk=128, sampling_mode=SAMPLING_MIS,
+        )
+        tiled = TiledRenderer(geom, cam, s, cdfs=cdfs, seed=4)
+        tiled.step()
+        film = tiled.gather_film()
+        img = np.asarray(film.mean_radiance())
+        assert img.shape == (32, 32, 3)
+        assert img.mean() > 0
+        # compare against single-chip MIS statistically
+        single = ProgressiveRenderer(geom, cam, s, cdfs=cdfs, seed=6)
+        single.step()
+        a = float(np.asarray(single.film.mean_radiance()).mean())
+        assert img.mean() == pytest.approx(a, rel=0.15)

@@ -80,6 +80,8 @@ def render_pass_tiled(
         sampling_mode=s.sampling_mode,
         spp_per_pass=s.spp_per_pass,
         ray_chunk=min(s.ray_chunk, band * s.width),
+        wavefront=s.wavefront,
+        sort_rays=s.sort_rays,
     )
 
     def tile_body(film_band, key_rep):
