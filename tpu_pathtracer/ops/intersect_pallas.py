@@ -370,7 +370,8 @@ def pallas_closest_hit(geom: Geometry, tri_pack, o, d, t_min=1e-4,
 # fraction of clusters; incoherent bounce tiles degrade gracefully toward
 # brute force. Handles scenes up to VMEM capacity (~150k triangles).
 
-RAYS_PER_TILE = RAY_TILE * ROWS_PER_STEP  # cull-mask granularity (rays/tile)
+DMA_ROWS = 8         # lane rows per culled-kernel tile (fine cull masks)
+RAYS_PER_TILE = RAY_TILE * DMA_ROWS  # cull-mask granularity (rays/tile)
 
 
 def morton_order(geom: Geometry) -> np.ndarray:
@@ -742,8 +743,14 @@ def pallas_occluded(tri_pack, prim_pack, o, d, max_dist,
 
 
 def _cluster_list(cluster_min, cluster_max, o, d, t_min):
-    """Active-cluster list per ray tile: (count (tiles,), ids (tiles, Cpad))
-    with real ids packed first (padding id 0, ignored via count)."""
+    """Active-cluster lists per ray tile.
+
+    Returns (count (tiles,), ids (tiles, Cpad), row_bits (tiles, Cpad)):
+    ids holds the tile's active cluster ids packed first; row_bits[t, k]
+    has bit r set when lane-row r (128 rays) of tile t can hit cluster
+    ids[t, k] — the kernel skips (cluster, row) pairs whose bit is clear,
+    so each row only pays for its own clusters rather than the tile
+    union."""
     b = o.shape[0]
     c = cluster_min.shape[0]
     tiles = b // RAYS_PER_TILE
@@ -757,25 +764,37 @@ def _cluster_list(cluster_min, cluster_max, o, d, t_min):
         tnear = jnp.max(jnp.minimum(t1, t2), axis=-1)
         tfar = jnp.min(jnp.maximum(t1, t2), axis=-1)
         hit = (tfar >= jnp.maximum(tnear, t_min)) & (tfar > 0.0)
-        return jnp.any(hit, axis=0)
+        # (rays, C) -> per lane-row any: (DMA_ROWS, C)
+        return jnp.any(hit.reshape(DMA_ROWS, RAY_TILE, c), axis=1)
 
-    tile_hit = jax.lax.map(
+    row_hit = jax.lax.map(
         one_tile,
         (
             o.reshape(tiles, RAYS_PER_TILE, 3),
             inv_d.reshape(tiles, RAYS_PER_TILE, 3),
         ),
-    )                                                  # (tiles, C)
+    )                                        # (tiles, ROWS, C)
+    tile_hit = jnp.any(row_hit, axis=1)      # (tiles, C)
     count = jnp.sum(tile_hit, axis=1).astype(jnp.int32)
     # stable partition: active cluster ids first
     order = jnp.argsort(~tile_hit, axis=1, stable=True).astype(jnp.int32)
     cpad = ((c + RAY_TILE - 1) // RAY_TILE) * RAY_TILE
     ids = jnp.zeros((tiles, cpad), jnp.int32)
     ids = ids.at[:, :c].set(order)
-    return count, ids
+    # pack per-row activity of the ORDERED clusters into 32-bit words
+    shifts = jnp.int32(1) << jnp.arange(DMA_ROWS, dtype=jnp.int32)
+    ordered_rows = jnp.take_along_axis(
+        row_hit, order[:, None, :], axis=2
+    )                                        # (tiles, ROWS, C)
+    bits_c = jnp.sum(
+        ordered_rows.astype(jnp.int32) * shifts[None, :, None], axis=1
+    )                                        # (tiles, C)
+    row_bits = jnp.zeros((tiles, cpad), jnp.int32)
+    row_bits = row_bits.at[:, :c].set(bits_c)
+    return count, ids, row_bits
 
 
-def _kernel_culled_dma(count_ref, list_ref, tri_hbm,
+def _kernel_culled_dma(count_ref, list_ref, bits_ref, tri_hbm,
                        ox, oy, oz, dx, dy, dz, tmin_ref,
                        t_out, id_out, scratch, sem):
     n_active = count_ref[0, 0, 0]
@@ -804,53 +823,89 @@ def _kernel_culled_dma(count_ref, list_ref, tri_hbm,
         get_dma(slot, k).wait()
         blk = jnp.transpose(scratch[slot])        # (16,128) -> (128,16)
         cid = list_ref[0, 0, k]
+        rbits = bits_ref[0, 0, k]
 
         def col(kk):
             return blk[:, kk][:, None]            # (128, 1)
 
-        for r in range(ROWS_PER_STEP):
-            rox, roy, roz = ox[r:r+1, :], oy[r:r+1, :], oz[r:r+1, :]
-            rdx, rdy, rdz = dx[r:r+1, :], dy[r:r+1, :], dz[r:r+1, :]
-            os_ = col(6) * rox + col(7) * roy + col(8) * roz - col(11)
-            ds_ = col(6) * rdx + col(7) * rdy + col(8) * rdz
-            t = -os_ / ds_
-            u = (
-                col(0) * rox + col(1) * roy + col(2) * roz - col(9)
-            ) + t * (col(0) * rdx + col(1) * rdy + col(2) * rdz)
-            v = (
-                col(3) * rox + col(4) * roy + col(5) * roz - col(10)
-            ) + t * (col(3) * rdx + col(4) * rdy + col(5) * rdz)
-            ok = (
-                (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
-                & (t > 1e-8) & (t >= t_min)
-            )
-            tt = jnp.where(ok, t, jnp.inf)
-            tmin_c = jnp.min(tt, axis=0, keepdims=True)
-            ids = (
-                jax.lax.broadcasted_iota(jnp.int32, tt.shape, 0)
-                + cid * TRI_CHUNK
-            )
-            idc = jnp.min(
-                jnp.where(tt == tmin_c, ids, _BIG_ID),
-                axis=0, keepdims=True,
-            )
-            # In-kernel row update without scatter (unsupported in
-            # Mosaic): static row mask + where.
-            row_t = t_cur[r:r+1, :]
-            better = tmin_c < row_t                   # (1, 128)
-            rowmask = (
-                jax.lax.broadcasted_iota(
-                    jnp.int32, (ROWS_PER_STEP, RAY_TILE), 0
+        def one_row(r, carry, conditioned):
+            def row_compute(carry):
+                t_cur, id_cur = carry
+                rox, roy, roz = (
+                    ox[r:r+1, :], oy[r:r+1, :], oz[r:r+1, :]
                 )
-                == r
+                rdx, rdy, rdz = (
+                    dx[r:r+1, :], dy[r:r+1, :], dz[r:r+1, :]
+                )
+                os_ = (
+                    col(6) * rox + col(7) * roy + col(8) * roz - col(11)
+                )
+                ds_ = col(6) * rdx + col(7) * rdy + col(8) * rdz
+                t = -os_ / ds_
+                u = (
+                    col(0) * rox + col(1) * roy + col(2) * roz - col(9)
+                ) + t * (col(0) * rdx + col(1) * rdy + col(2) * rdz)
+                v = (
+                    col(3) * rox + col(4) * roy + col(5) * roz - col(10)
+                ) + t * (col(3) * rdx + col(4) * rdy + col(5) * rdz)
+                ok = (
+                    (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+                    & (t > 1e-8) & (t >= t_min)
+                )
+                tt = jnp.where(ok, t, jnp.inf)
+                tmin_c = jnp.min(tt, axis=0, keepdims=True)
+                ids = (
+                    jax.lax.broadcasted_iota(jnp.int32, tt.shape, 0)
+                    + cid * TRI_CHUNK
+                )
+                idc = jnp.min(
+                    jnp.where(tt == tmin_c, ids, _BIG_ID),
+                    axis=0, keepdims=True,
+                )
+                # In-kernel row update without scatter (unsupported in
+                # Mosaic): static row mask + where.
+                row_t = t_cur[r:r+1, :]
+                better = tmin_c < row_t               # (1, 128)
+                rowmask = (
+                    jax.lax.broadcasted_iota(
+                        jnp.int32, (DMA_ROWS, RAY_TILE), 0
+                    )
+                    == r
+                )
+                upd = rowmask & better                # (DMA_ROWS, 128)
+                return (
+                    jnp.where(upd, tmin_c, t_cur),
+                    jnp.where(upd, idc, id_cur),
+                )
+
+            if not conditioned:
+                return row_compute(carry)
+            # Per-row cull: skip (cluster, row) pairs whose pre-pass bit
+            # is clear — rows only pay for their own clusters.
+            row_active = ((rbits >> r) & 1) > 0
+            return jax.lax.cond(
+                row_active, row_compute, lambda c: c, carry
             )
-            upd = rowmask & better                    # (8, 128)
-            t_cur = jnp.where(upd, tmin_c, t_cur)
-            id_cur = jnp.where(upd, idc, id_cur)
+
+        def all_rows(carry):
+            # fast path: cluster active for every row — no per-row branch
+            for r in range(DMA_ROWS):
+                carry = one_row(r, carry, conditioned=False)
+            return carry
+
+        def some_rows(carry):
+            for r in range(DMA_ROWS):
+                carry = one_row(r, carry, conditioned=True)
+            return carry
+
+        full_mask = jnp.int32((1 << DMA_ROWS) - 1)
+        t_cur, id_cur = jax.lax.cond(
+            rbits == full_mask, all_rows, some_rows, (t_cur, id_cur)
+        )
         return t_cur, id_cur
 
-    t0 = jnp.full((ROWS_PER_STEP, RAY_TILE), jnp.inf)
-    i0 = jnp.full((ROWS_PER_STEP, RAY_TILE), -1, jnp.int32)
+    t0 = jnp.full((DMA_ROWS, RAY_TILE), jnp.inf)
+    i0 = jnp.full((DMA_ROWS, RAY_TILE), -1, jnp.int32)
     t_fin, id_fin = jax.lax.fori_loop(0, n_active, body, (t0, i0))
     t_out[...] = t_fin
     id_out[...] = jnp.maximum(id_fin, 0)
@@ -866,17 +921,25 @@ def pallas_closest_tuv_dma(tri_pack, cluster_min, cluster_max, o, d,
     rows = b // RAY_TILE
     tiles = b // RAYS_PER_TILE
 
-    count, ids = _cluster_list(cluster_min, cluster_max, o, d, t_min)
+    count, ids, row_bits = _cluster_list(
+        cluster_min, cluster_max, o, d, t_min
+    )
 
-    ray_spec = _ray_spec()
+    ray_spec = pl.BlockSpec(
+        (DMA_ROWS, RAY_TILE), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    smem_row = pl.BlockSpec(
+        (1, 1, ids.shape[1]), lambda i: (i, 0, 0),
+        memory_space=pltpu.SMEM,
+    )
     t, idx = pl.pallas_call(
         _kernel_culled_dma,
         grid=(tiles,),
         in_specs=[
             pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, ids.shape[1]), lambda i: (i, 0, 0),
-                         memory_space=pltpu.SMEM),
+            smem_row,
+            smem_row,
             pl.BlockSpec(memory_space=pltpu.ANY),   # tri_pack in HBM
         ]
         + [ray_spec] * 6
@@ -893,6 +956,7 @@ def pallas_closest_tuv_dma(tri_pack, cluster_min, cluster_max, o, d,
     )(
         count.reshape(tiles, 1, 1),
         ids[:, None, :],
+        row_bits[:, None, :],
         tri_pack,
         *_ray_comps(o, d, rows),
         jnp.full((1,), t_min, jnp.float32),
