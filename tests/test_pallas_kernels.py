@@ -119,6 +119,41 @@ class TestCulled:
                 np.asarray(hit.prim)[m], np.asarray(ref.prim)[m]
             )
 
+    def test_incoherent_multi_step_batches(self):
+        """Regression (ADVICE r1): a grid step spans ROWS_PER_STEP lane
+        rows = 4 mask tiles; every row must read ITS tile's cull mask.
+        8192 incoherent rays (random origins in the box, random dirs)
+        give every tile a different mask, so a wrong-tile read shows up
+        as missed hits. Also covers non-multiple-of-4096 batches (the
+        old assert allowed 1024-ray multiples that produced grid=0)."""
+        geom = subdivide(cornell_box("quads"), 3).build()  # 2048 tris
+        cs = ip.CulledScene(geom)
+        key = jax.random.key(42)
+        for n in (8192, 1024 + 512):  # multi-step + pad path
+            ko, kd = jax.random.split(jax.random.fold_in(key, n))
+            o = jax.random.uniform(
+                ko, (n, 3), minval=-2.5, maxval=2.5
+            ) + jnp.array([0.0, 2.75, 0.0])
+            d = jax.random.normal(kd, (n, 3))
+            d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+            t, ridx = ip.pallas_closest_tuv_culled(
+                cs.tri_pack, cs.cluster_min, cs.cluster_max, o, d
+            )
+            ref = closest_hit(geom, o, d)
+            m = np.asarray(ref.valid)
+            assert (np.isfinite(np.asarray(t)) == m).all()
+            # rtol 1e-4: random in-box origins land nearly on surfaces,
+            # where t ~ 1e-3 picks up FP-order noise between kernels
+            np.testing.assert_allclose(
+                np.asarray(t)[m], np.asarray(ref.t)[m],
+                rtol=1e-4, atol=1e-6,
+            )
+            tri_idx = np.asarray(cs.order)[np.asarray(ridx)]
+            np.testing.assert_array_equal(
+                np.asarray(geom.tri_prim)[tri_idx][m],
+                np.asarray(ref.prim)[m],
+            )
+
     def test_mask_covers_all_hit_clusters(self):
         """The XLA pre-pass must never cull a cluster a ray hits."""
         geom = subdivide(cornell_box("quads"), 2).build()

@@ -521,7 +521,10 @@ def _kernel_culled(tri_ref, mask_ref, ox, oy, oz, dx, dy, dz, tmin_ref,
                     jnp.where(better, idc, id_cur),
                 )
 
-            m = mask_ref[0, 0, c]
+            # mask granularity is one 1024-ray tile (RAYS_PER_TILE);
+            # each grid step spans ROWS_PER_STEP/DMA_ROWS such tiles, so
+            # row r reads its own tile's mask (r // DMA_ROWS is static).
+            m = mask_ref[r // DMA_ROWS, 0, c]
             return jax.lax.cond(m > 0, active, lambda cr: cr, carry)
 
         t0 = jnp.full((1, RAY_TILE), jnp.inf)
@@ -535,18 +538,19 @@ def _kernel_culled(tri_ref, mask_ref, ox, oy, oz, dx, dy, dz, tmin_ref,
 def pallas_closest_tuv_culled(tri_pack, cluster_min, cluster_max, o, d,
                               t_min=1e-4):
     """(t, reordered-tri idx) closest hit with per-tile cluster culling."""
+    (o, d), b0 = _pad_rays(o, d)
     b = o.shape[0]
-    step = RAYS_PER_TILE
-    assert b % step == 0, f"ray batch {b} not a multiple of {step}"
     rows = b // RAY_TILE
 
     mask = _cluster_mask(cluster_min, cluster_max, o, d, t_min)
 
     ray_spec = _ray_spec()
     # Scalar mask lives in SMEM: per-cluster reads are scalar loads with
-    # no vector-alignment constraints.
+    # no vector-alignment constraints. Each grid step covers
+    # ROWS_PER_STEP*RAY_TILE rays = ROWS_PER_STEP/DMA_ROWS mask tiles.
+    tiles_per_step = ROWS_PER_STEP // DMA_ROWS
     mask_spec = pl.BlockSpec(
-        (1, 1, mask.shape[2]), lambda i: (i, 0, 0),
+        (tiles_per_step, 1, mask.shape[2]), lambda i: (i, 0, 0),
         memory_space=pltpu.SMEM,
     )
     t, idx = pl.pallas_call(
@@ -570,7 +574,7 @@ def pallas_closest_tuv_culled(tri_pack, cluster_min, cluster_max, o, d,
         tri_pack, mask, *_ray_comps(o, d, rows),
         jnp.full((1,), t_min, jnp.float32),
     )
-    return t.reshape(b), idx.reshape(b)
+    return t.reshape(b)[:b0], idx.reshape(b)[:b0]
 
 
 @jax.tree_util.register_pytree_node_class
