@@ -21,6 +21,14 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+# Goldens are defined on the CPU brute-force backend (what tests/ use);
+# the App's backend auto-select is platform-dependent and the pallas
+# kernels agree with brute force to ~1e-5, not bitwise — so generation
+# must run on the same platform/backend as verification.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "..", "goldens")
 
 # name -> Config kwargs (all tiny, CPU-friendly, fixed seeds)

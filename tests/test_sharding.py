@@ -57,6 +57,24 @@ class TestTiledRender:
         corr = np.corrcoef(ra, rb)[0, 1]
         assert corr > 0.95
 
+    def test_matches_single_chip_bitwise(self, scene):
+        """RNG is keyed by GLOBAL pixel id and the tiled path reuses the
+        full camera + global pixel coords, so with the same seed the
+        gathered sharded film is bitwise identical to single-chip."""
+        geom, cam = scene
+        s = RenderSettings(
+            width=64, height=64, max_depth=4, spp_per_pass=4,
+            ray_chunk=512,
+        )
+        single = ProgressiveRenderer(geom, cam, s, seed=5)
+        single.step()
+        tiled = TiledRenderer(geom, cam, s, seed=5)
+        tiled.step()
+        np.testing.assert_array_equal(
+            np.asarray(tiled.gather_film().accum),
+            np.asarray(single.film.accum),
+        )
+
     def test_nondivisible_height_padded(self, scene):
         geom, cam = scene
         s = RenderSettings(

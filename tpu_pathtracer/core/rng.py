@@ -44,3 +44,42 @@ def bounce_key(key: jax.Array, depth) -> jax.Array:
 def uniforms(key: jax.Array, n: int, shape=()) -> jnp.ndarray:
     """n independent uniforms in [0, 1) with the given batch shape."""
     return jax.random.uniform(key, shape + (n,))
+
+
+def lane_uniforms(key: jax.Array, lane_ids: jax.Array, n: int) -> jax.Array:
+    """(B, n) uniforms where row i depends ONLY on (key, lane_ids[i]).
+
+    Unlike `jax.random.uniform(key, (B, n))` — whose values depend on a
+    lane's *position* in the batch — this is invariant to batch layout:
+    chunk size, padding, lane permutation, and device sharding all
+    produce identical draws for the same logical lane id. The renderer
+    keys every per-path draw this way (lane id = global pixel index), so
+    renders are bitwise identical across ray_chunk settings and across
+    single-chip vs shard_map-tiled execution.
+
+    Implementation: ONE counter-mode threefry sweep. threefry_2x32 is a
+    2-word block cipher that pairs element i with element i+N/2 of the
+    flat counter array — position-dependent — so both cipher words are
+    set explicitly per block: word0 = lane id, word1 = draw-pair index.
+    Each block yields two independent 32-bit outputs (draws 2k, 2k+1),
+    so the hot-loop cost equals the positional `uniform(key, (B, n))`
+    this replaces. Bits convert via the standard mantissa fill."""
+    from jax.extend import random as jex_random
+
+    kd = jax.random.key_data(key).astype(jnp.uint32)        # (2,)
+    b = lane_ids.shape[0]
+    half = (n + 1) // 2
+    w0 = jnp.broadcast_to(
+        lane_ids.astype(jnp.uint32)[:, None], (b, half)
+    ).reshape(-1)
+    w1 = jnp.broadcast_to(
+        jnp.arange(half, dtype=jnp.uint32)[None, :], (b, half)
+    ).reshape(-1)
+    out = jex_random.threefry_2x32(kd, jnp.concatenate([w0, w1]))
+    m = b * half
+    bits = jnp.stack(
+        [out[:m].reshape(b, half), out[m:].reshape(b, half)], axis=-1
+    ).reshape(b, 2 * half)[:, :n]
+    return jax.lax.bitcast_convert_type(
+        (bits >> 9) | jnp.uint32(0x3F800000), jnp.float32
+    ) - 1.0

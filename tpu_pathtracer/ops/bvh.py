@@ -72,6 +72,34 @@ def _morton3(x: np.ndarray) -> np.ndarray:
     )
 
 
+def _tree_depth(n_left, n_right, n_count) -> int:
+    """Max root-to-leaf depth of a flat BVH (level-order sweep)."""
+    n_left = np.asarray(n_left)
+    n_right = np.asarray(n_right)
+    n_count = np.asarray(n_count)
+    frontier = np.array([0], np.int32)
+    depth = 0
+    while frontier.size:
+        depth += 1
+        inner = frontier[n_count[frontier] == 0]
+        frontier = np.concatenate([n_left[inner], n_right[inner]])
+    return depth
+
+
+def _check_stack(bvh: BVH) -> BVH:
+    """Traversal pushes at most one deferred sibling per level, so the
+    per-ray stack needs depth+1 slots; overflow would silently skip
+    subtrees (dropped child pushes in the can1/can2 guards)."""
+    depth = _tree_depth(bvh.node_left, bvh.node_right, bvh.node_count)
+    if depth + 1 > STACK_DEPTH:
+        raise ValueError(
+            f"BVH depth {depth} exceeds traversal stack "
+            f"({STACK_DEPTH} entries); raise ops.bvh.STACK_DEPTH or use "
+            "the brute/pallas/culled backends for this scene"
+        )
+    return bvh
+
+
 def build_bvh(geom: Geometry, prefer_native: bool = True) -> BVH:
     """Host-side build over the canonical triangle list.
 
@@ -91,7 +119,9 @@ def build_bvh(geom: Geometry, prefer_native: bool = True) -> BVH:
 
         fields = native_build_bvh(tmin, tmax, LEAF_SIZE)
         if fields is not None:
-            return BVH(**{k: jnp.asarray(v) for k, v in fields.items()})
+            return _check_stack(
+                BVH(**{k: jnp.asarray(v) for k, v in fields.items()})
+            )
 
     # Morton pre-sort for leaf coherence.
     lo, hi = centroid.min(0), centroid.max(0)
@@ -148,14 +178,14 @@ def build_bvh(geom: Geometry, prefer_native: bool = True) -> BVH:
         tasks.append((left, start, mid))
         tasks.append((right, mid, end))
 
-    return BVH(
+    return _check_stack(BVH(
         node_min=jnp.asarray(np.stack(n_min)),
         node_max=jnp.asarray(np.stack(n_max)),
         node_left=jnp.asarray(np.asarray(n_left, np.int32)),
         node_right=jnp.asarray(np.asarray(n_right, np.int32)),
         node_count=jnp.asarray(np.asarray(n_count, np.int32)),
         tri_order=jnp.asarray(order),
-    )
+    ))
 
 
 def _slab_test(node_min, node_max, o, inv_d, t_best):

@@ -69,6 +69,11 @@ def render_pass_tiled(
     `settings` describes the FULL image; each device runs the single-chip
     `render_pass` on a height/n_tiles row band. Padded rows (when height
     is not divisible) render throwaway rays and are cropped on gather.
+
+    RNG lane ids are the GLOBAL pixel indices (band offset y0*width), so
+    the gathered film is bitwise identical to a single-chip render of the
+    same settings/key — sharding is purely a performance decision
+    (tests/test_sharding.py asserts the equality).
     """
     s = settings
     hpad = _pad_rows(s.height, n_tiles)
@@ -86,21 +91,14 @@ def render_pass_tiled(
 
     def tile_body(film_band, key_rep):
         tile = jax.lax.axis_index("tile")
-        y0 = (tile * band).astype(jnp.float32)
-        # Band view-plane: inner v = (y + jit)/band must map to full-image
-        # v' = (y0 + y + jit)/height, i.e. shift the lower-left corner by
-        # (y0/height) * vertical and scale vertical by band/height.
-        cam_band = Camera(
-            origin=camera.origin,
-            lower_left_corner=camera.lower_left_corner
-            + camera.vertical * (y0 / s.height),
-            horizontal=camera.horizontal,
-            vertical=camera.vertical * (band / s.height),
-        )
-        band_key = jax.random.fold_in(key_rep, tile)
+        # Global pixel ids (offset y0*width) + full-image view_size make
+        # the band's camera uv mapping and RNG draws bit-identical to the
+        # corresponding rows of a single-chip render.
         new_film, rays = render_pass(
-            geom, cdfs, cam_band, film_band, band_key,
+            geom, cdfs, camera, film_band, key_rep,
             mis_bsdf_fraction, band_settings,
+            pixel_offset=(tile * band * s.width).astype(jnp.int32),
+            view_size=(s.width, s.height),
         )
         return new_film, jax.lax.psum(rays, "tile")
 

@@ -20,9 +20,11 @@ plus one additive capability: a perfect-mirror lobe (MATERIAL_MIRROR) that
 the reference README promises but its code never implements
 (BASELINE.json config #2).
 
-RNG: counter-based threefry. Per bounce the integrator draws a fixed
-(B, 6) block of uniforms keyed by (pass key, depth); lanes are independent
-counters, so results are bitwise reproducible at any batch/chunk split.
+RNG: counter-based threefry. Per bounce the integrator draws each lane's
+uniforms keyed by (pass key, depth, lane id) via rng.lane_uniforms —
+draws depend only on the lane's logical id (its global pixel index), so
+results are bitwise reproducible at any batch/chunk split, under lane
+permutation, and across device shardings.
 """
 
 from __future__ import annotations
@@ -51,6 +53,7 @@ from ..core.math_utils import (
     power_heuristic,
     reflect,
 )
+from ..core import rng
 from ..ops.bvh import BVH, bvh_closest_hit
 from ..ops.intersect_pallas import pallas_closest_hit
 from ..ops.guiding import CDFPack, grid_pdf, sample_grid
@@ -194,12 +197,17 @@ def trace(
     tri_pack: jax.Array | None = None,
     attr_pack: jax.Array | None = None,
     culled=None,
+    lane_ids: jax.Array | None = None,
 ) -> tuple[jax.Array, TraceStats]:
     """Trace a batch of paths to completion.
 
     Args:
         origins, directions: (B, 3) primary rays (directions unit length).
-        key: threefry key for this batch (already folded with chunk/sample).
+        key: threefry key for this batch (already folded with the sample
+            index; lanes are differentiated by `lane_ids`, not position).
+        lane_ids: (B,) int32 logical lane ids (global pixel indices);
+            defaults to arange(B). All randomness is keyed per lane id,
+            making results invariant to chunking/padding/sharding.
         max_depth: static path length bound (reference hardcodes 5 at its
             call sites, integrator.h:389 — here it is honest config).
         mode: SAMPLING_* constant (static).
@@ -220,6 +228,8 @@ def trace(
         raise ValueError("guided sampling modes require a CDFPack")
 
     b = origins.shape[0]
+    if lane_ids is None:
+        lane_ids = jnp.arange(b, dtype=jnp.int32)
     mis_frac = jnp.asarray(mis_bsdf_fraction, jnp.float32)
 
     def bounce(carry, depth):
@@ -241,8 +251,8 @@ def trace(
 
         n_draws = 3 if mode == SAMPLING_BSDF else 6
         rr_col = 2 if mode == SAMPLING_BSDF else 4
-        draws = jax.random.uniform(
-            jax.random.fold_in(key, depth), (b, n_draws)
+        draws = rng.lane_uniforms(
+            jax.random.fold_in(key, depth), lane_ids, n_draws
         )
 
         # Russian roulette (integrator.h:207-212): strictly after depth 2.
@@ -342,6 +352,7 @@ def trace_wavefront(
     attr_pack: jax.Array | None = None,
     culled=None,
     sort_rays: bool = False,
+    lane_ids: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Persistent wavefront with same-pixel respawn.
 
@@ -363,9 +374,12 @@ def trace_wavefront(
     the lanes and results are un-permuted before returning, so callers
     see the original lane order either way.
 
-    RNG is keyed per (pass, iteration, lane): estimates are reproducible
-    for a fixed chunk layout but differ from the per-depth scan integrator
-    (both are unbiased estimators of the same integral).
+    RNG is keyed per (pass, iteration, lane id): lane ids are logical
+    (global pixel index, via `lane_ids`), so estimates are bitwise
+    invariant to chunk layout, padding, and sharding — a lane's
+    trajectory depends only on its own id and iteration counter. They
+    differ from the per-depth scan integrator (both are unbiased
+    estimators of the same integral).
 
     Returns:
         (radiance_sum, rays, iters): per-lane radiance SUM over spp
@@ -375,6 +389,8 @@ def trace_wavefront(
         raise ValueError("guided sampling modes require a CDFPack")
 
     b = pixel_x.shape[0]
+    if lane_ids is None:
+        lane_ids = jnp.arange(b, dtype=jnp.int32)
     mis_frac = jnp.asarray(mis_bsdf_fraction, jnp.float32)
     max_iters = spp * max_depth + max_depth
     if sort_rays:
@@ -382,9 +398,9 @@ def trace_wavefront(
         scene_hi = jnp.max(geom.corners.reshape(-1, 3), axis=0)
         inv_ext = 1.0 / jnp.maximum(scene_hi - scene_lo, 1e-6)
 
-    def spawn(iter_key, mask, o, d, px, py):
-        jit2 = jax.random.uniform(
-            jax.random.fold_in(iter_key, 101), (b, 2)
+    def spawn(iter_key, mask, o, d, px, py, pid):
+        jit2 = rng.lane_uniforms(
+            jax.random.fold_in(iter_key, 101), pid, 2
         )
         u = (px + jit2[:, 0]) / width
         v = (py + jit2[:, 1]) / height
@@ -400,15 +416,15 @@ def trace_wavefront(
         return jnp.any(alive) & (it < max_iters)
 
     def body(state):
-        (o, d, beta, total, alive, depth, done, px, py, orig,
+        (o, d, beta, total, alive, depth, done, px, py, orig, pid,
          rays, it) = state
         iter_key = jax.random.fold_in(key, it)
         rays = rays + jnp.sum(alive)
 
         hit = _intersect(geom, o, d, bvh, tri_pack, attr_pack, culled)
         live = alive & hit.valid
-        draws = jax.random.uniform(
-            jax.random.fold_in(iter_key, 7), (b, _num_draws(mode))
+        draws = rng.lane_uniforms(
+            jax.random.fold_in(iter_key, 7), pid, _num_draws(mode)
         )
         o, d, beta, live, contrib = _shade(
             hit, d, beta, live, draws, mode, cdfs, mis_frac,
@@ -420,7 +436,7 @@ def trace_wavefront(
         live = live & (depth < max_depth)
 
         respawn = alive & ~live & (done < spp)
-        o, d = spawn(iter_key, respawn, o, d, px, py)
+        o, d = spawn(iter_key, respawn, o, d, px, py, pid)
         beta = jnp.where(respawn[:, None], 1.0, beta)
         depth = jnp.where(respawn, 0, depth)
         done = done + respawn.astype(jnp.int32)
@@ -444,9 +460,9 @@ def trace_wavefront(
                 o[perm], d[perm], beta[perm], total[perm]
             )
             alive, depth, done = alive[perm], depth[perm], done[perm]
-            px, py, orig = px[perm], py[perm], orig[perm]
+            px, py, orig, pid = px[perm], py[perm], orig[perm], pid[perm]
 
-        return (o, d, beta, total, alive, depth, done, px, py, orig,
+        return (o, d, beta, total, alive, depth, done, px, py, orig, pid,
                 rays, it + 1)
 
     px0 = pixel_x.astype(jnp.float32)
@@ -454,7 +470,7 @@ def trace_wavefront(
     o0 = jnp.zeros((b, 3), jnp.float32)
     d0 = jnp.ones((b, 3), jnp.float32)
     o0, d0 = spawn(jax.random.fold_in(key, 0x5EED), jnp.ones((b,), bool),
-                   o0, d0, px0, py0)
+                   o0, d0, px0, py0, lane_ids)
     state = (
         o0,
         d0,
@@ -466,11 +482,12 @@ def trace_wavefront(
         px0,
         py0,
         jnp.arange(b, dtype=jnp.int32),
+        lane_ids,
         jnp.zeros((), jnp.int32),
         jnp.zeros((), jnp.int32),
     )
-    (_, _, _, total, _, _, _, _, _, orig, rays, it) = jax.lax.while_loop(
-        cond, body, state
+    (_, _, _, total, _, _, _, _, _, orig, _, rays, it) = (
+        jax.lax.while_loop(cond, body, state)
     )
     if sort_rays:
         total = total[jnp.argsort(orig)]

@@ -4,9 +4,11 @@ Equivalent of the reference's per-frame driver (`renderFrame`,
 `/root/reference/include/application.h:157-216`) re-shaped for XLA: one
 jitted `render_pass` traces `spp_per_pass` samples for every pixel, chunked
 into fixed-size ray batches via `lax.map` (static shapes, bounded memory),
-and adds into the progressive film. The pixel->chunk layout, the per-
-(pass, chunk, sample, bounce) key schedule, and all estimator constants are
-deterministic, so a render is reproducible for any chunk size.
+and adds into the progressive film. Every random draw is keyed by
+(pass, sample, bounce, GLOBAL pixel id) via rng.lane_uniforms — never by a
+lane's position in its chunk — so a render is bitwise identical for any
+ray_chunk setting, any padding, and any device sharding of the image
+(goldens/ and tests/test_golden.py enforce this).
 """
 
 from __future__ import annotations
@@ -53,7 +55,7 @@ class RenderSettings:
 
 @partial(
     jax.jit,
-    static_argnames=("settings",),
+    static_argnames=("settings", "view_size"),
     donate_argnames=("film",),
 )
 def render_pass(
@@ -68,12 +70,21 @@ def render_pass(
     tri_pack=None,
     attr_pack=None,
     culled=None,
+    pixel_offset=None,
+    view_size=None,
 ):
     """Trace settings.spp_per_pass samples per pixel and accumulate.
+
+    A shard_map row band rendering full-image rows [y0, y0+band) passes
+    `pixel_offset = y0*width` (traced int32) and `view_size = (W, H)` of
+    the FULL image: pixel coordinates, camera uv mapping, and RNG lane
+    ids are all derived from the global pixel index, so the band is
+    bitwise identical to the same rows of a single-chip render.
 
     Returns (film, rays_traced).
     """
     s = settings
+    vw, vh = view_size if view_size is not None else (s.width, s.height)
     npix = s.num_pixels
     chunk = min(s.ray_chunk, npix)
     if tri_pack is not None or culled is not None:
@@ -86,15 +97,15 @@ def render_pass(
     # Padded lanes trace pixel 0 (wasted but static-shape); their results
     # are dropped below.
     pix = jnp.where(pix < npix, pix, 0)
-    chunks = pix.reshape(-1, chunk)
+    if pixel_offset is None:
+        pixel_offset = jnp.zeros((), jnp.int32)
+    gids = (pix + pixel_offset).reshape(-1, chunk)  # global pixel ids
 
     pass_key = jax.random.fold_in(key, film.passes)
 
-    def do_chunk(args):
-        chunk_idx, ids = args
-        x = (ids % s.width).astype(jnp.float32)
-        y = (ids // s.width).astype(jnp.float32)
-        ckey = jax.random.fold_in(pass_key, chunk_idx)
+    def do_chunk(lane_ids):
+        x = (lane_ids % vw).astype(jnp.float32)
+        y = (lane_ids // vw).astype(jnp.float32)
 
         if s.wavefront:
             radiance_sum, rays, _ = trace_wavefront(
@@ -102,9 +113,9 @@ def render_pass(
                 camera,
                 x,
                 y,
-                rng.stream_key(ckey, rng.STREAM_PATH),
-                width=s.width,
-                height=s.height,
+                rng.stream_key(pass_key, rng.STREAM_PATH),
+                width=vw,
+                height=vh,
                 spp=s.spp_per_pass,
                 max_depth=s.max_depth,
                 mode=s.sampling_mode,
@@ -115,17 +126,18 @@ def render_pass(
                 attr_pack=attr_pack,
                 culled=culled,
                 sort_rays=s.sort_rays,
+                lane_ids=lane_ids,
             )
             return radiance_sum, rays
 
         def one_sample(acc, samp):
             radiance_sum, rays = acc
-            skey = jax.random.fold_in(ckey, samp)
-            jit2 = jax.random.uniform(
-                rng.stream_key(skey, rng.STREAM_CAMERA), (chunk, 2)
+            skey = jax.random.fold_in(pass_key, samp)
+            jit2 = rng.lane_uniforms(
+                rng.stream_key(skey, rng.STREAM_CAMERA), lane_ids, 2
             )
-            u = (x + jit2[:, 0]) / s.width
-            v = (y + jit2[:, 1]) / s.height
+            u = (x + jit2[:, 0]) / vw
+            v = (y + jit2[:, 1]) / vh
             o, d = camera.get_rays(u, v)
             radiance, stats = trace(
                 geom,
@@ -140,6 +152,7 @@ def render_pass(
                 tri_pack=tri_pack,
                 attr_pack=attr_pack,
                 culled=culled,
+                lane_ids=lane_ids,
             )
             return (radiance_sum + radiance, rays + stats.rays), None
 
@@ -150,8 +163,7 @@ def render_pass(
         )
         return radiance_sum, rays
 
-    chunk_ids = jnp.arange(chunks.shape[0], dtype=jnp.int32)
-    radiance, rays = jax.lax.map(do_chunk, (chunk_ids, chunks))
+    radiance, rays = jax.lax.map(do_chunk, gids)
     radiance = radiance.reshape(npad, 3)[:npix]
     film = Film(
         accum=film.accum + radiance.reshape(s.height, s.width, 3),

@@ -82,7 +82,14 @@ class Config:
 
     @staticmethod
     def from_json(text: str) -> "Config":
-        return Config(**json.loads(text))
+        kw = json.loads(text)
+        # JSON has no tuples; normalize vector fields so equality checks
+        # against the tuple defaults (e.g. pbrt camera adoption in
+        # app.load_prims) behave the same as for CLI-built configs.
+        for k in ("camera_origin", "look_at", "up"):
+            if isinstance(kw.get(k), list):
+                kw[k] = tuple(kw[k])
+        return Config(**kw)
 
     @staticmethod
     def add_cli_args(parser) -> None:
