@@ -112,3 +112,42 @@ class TestConfig:
         assert cfg.spp == 9
         assert cfg.sampling_mode == "mis"
         assert cfg.camera_origin == (1.0, 2.0, 3.0)
+
+
+class TestViewerSet:
+    def test_set_scene_reloads_geometry(self):
+        """A /set that changes scene/subdivision must re-run
+        load_scene() so new geometry actually renders (reference
+        Controls-window reload, ui_windows.h:94-104, 213-224)."""
+        from tpu_pathtracer.viewer.server import ViewerState
+
+        state = ViewerState.__new__(ViewerState)  # no render thread
+        import threading
+
+        state.app = App(small_cfg(scene="cbox"))
+        state.app.load_scene()
+        state.lock = threading.Lock()
+        n_before = state.app.geom.num_prims
+
+        changed = state.apply_settings({"scene": "cbox_quads"})
+        assert changed == {"scene"}
+        assert state.app.config.scene == "cbox_quads"
+        # geometry was reloaded, not stale
+        assert state.app.geom.num_prims != n_before
+        img = state.app.render()
+        assert img.max() > 0
+
+    def test_set_non_geo_key_keeps_geometry(self):
+        from tpu_pathtracer.viewer.server import ViewerState
+        import threading
+
+        state = ViewerState.__new__(ViewerState)
+        state.app = App(small_cfg())
+        state.app.load_scene()
+        state.lock = threading.Lock()
+        geom = state.app.geom
+
+        changed = state.apply_settings({"spp": "8"})
+        assert changed == {"spp"}
+        assert state.app.geom is geom  # no reload
+        assert state.app._renderer is None  # accumulation restarted

@@ -746,66 +746,267 @@ def pallas_occluded(tri_pack, prim_pack, o, d, max_dist,
 # math. Scales to arbitrary triangle counts at O(active clusters) work.
 
 
-def _cluster_list(cluster_min, cluster_max, o, d, t_min):
-    """Active-cluster lists per ray tile.
+# Packed cluster-key layout (one int32 per cluster slot):
+#   [bit 30] inactive  [bits 20..29] tnear bucket  [bits 12..19] row
+#   bits  [bits 0..11] cluster id
+# A single-operand jnp.sort on this key yields the active-first,
+# front-to-back, fully deterministic cluster schedule — multi-operand
+# lexicographic lax.sort measured 25 ms/bounce on the 101k-tri scene,
+# single-key sort is ~10x cheaper. The id field caps scenes at
+# _MAX_CLUSTERS clusters (524k triangles).
+_ID_BITS = 12
+_BITS_SHIFT = _ID_BITS
+_BUCKET_SHIFT = _ID_BITS + DMA_ROWS
+_BUCKETS = 1 << (30 - _BUCKET_SHIFT)
+_MAX_CLUSTERS = 1 << _ID_BITS
 
-    Returns (count (tiles,), ids (tiles, Cpad), row_bits (tiles, Cpad)):
-    ids holds the tile's active cluster ids packed first; row_bits[t, k]
-    has bit r set when lane-row r (128 rays) of tile t can hit cluster
-    ids[t, k] — the kernel skips (cluster, row) pairs whose bit is clear,
-    so each row only pays for its own clusters rather than the tile
-    union."""
+
+def _kernel_prepass(cb_ref, ox, oy, oz, ix, iy, iz, tmin_ref,
+                    rowhit_out, tn_out):
+    """Per-tile cluster visibility pre-pass at register speed.
+
+    The XLA formulation of these slab tests (52M ray/cluster pairs per
+    bounce on the 101k-tri scene) measured 25-32 ms — HBM-bound on its
+    own temporaries. Here rays stay in registers: 8 rays ride the
+    sublanes against all Cpad clusters on the lanes, 16 groups x 8 rows
+    cover the 1024-ray tile. Outputs per lane-row: did any ray hit each
+    cluster, and the min entry distance."""
+    t_min = tmin_ref[0]
+    cpad = cb_ref.shape[1]
+
+    # Same layout discipline as the intersect kernels: 128 clusters on
+    # sublanes x 128 rays on lanes per block — (8, 1)-slice formulations
+    # drowned in per-iteration relayout overhead. The chunk loop is a
+    # fori_loop, NOT a Python unroll: a fully unrolled ~30k-instruction
+    # body overflows instruction memory and runs ~12x slower.
+    ones = jnp.ones((RAY_TILE, 1), jnp.float32)
+
+    def chunk(c, carry):
+        blk = jnp.transpose(
+            cb_ref[:, pl.ds(c * TRI_CHUNK, TRI_CHUNK)]
+        )                                     # (128, 8)
+
+        def col(k):
+            return blk[:, k][:, None]         # (128, 1)
+
+        hits8 = []
+        tn_acc = jnp.full((TRI_CHUNK, RAY_TILE), jnp.inf, jnp.float32)
+        for r in range(DMA_ROWS):
+            ro = (ox[r:r+1, :], oy[r:r+1, :], oz[r:r+1, :])
+            ri = (ix[r:r+1, :], iy[r:r+1, :], iz[r:r+1, :])
+            tn = jnp.full((TRI_CHUNK, RAY_TILE), t_min, jnp.float32)
+            tf = jnp.full((TRI_CHUNK, RAY_TILE), jnp.inf, jnp.float32)
+            for ax in range(3):
+                lo = (col(ax) - ro[ax]) * ri[ax]
+                hi = (col(ax + 3) - ro[ax]) * ri[ax]
+                tn = jnp.maximum(tn, jnp.minimum(lo, hi))
+                tf = jnp.minimum(tf, jnp.maximum(lo, hi))
+            hit = (tf >= tn) & (tf > 0.0)     # (clusters, rays)
+            # "any ray in this row hits" via an MXU matvec (hit counts
+            # <= 128 are exact at any precision) — cross-lane VPU
+            # reductions here measured ~3 us each and dominated the
+            # kernel
+            cnt = jax.lax.dot_general(
+                hit.astype(jnp.float32), ones,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                 # (clusters, 1)
+            hits8.append(cnt)
+            tn_acc = jnp.minimum(tn_acc, jnp.where(hit, tn, jnp.inf))
+        sl = pl.ds(c * TRI_CHUNK, TRI_CHUNK)
+        rowhit_out[0, :, sl] = jnp.transpose(
+            jnp.concatenate(hits8, axis=1)
+        )
+        # tile-level min entry distance: one lane reduce per chunk
+        tn_min = jnp.min(tn_acc, axis=1, keepdims=True)   # (clusters, 1)
+        tn_out[0, :, sl] = jnp.broadcast_to(
+            jnp.transpose(tn_min), (DMA_ROWS, TRI_CHUNK)
+        )
+        return carry
+
+    jax.lax.fori_loop(0, cpad // TRI_CHUNK, chunk, 0)
+
+
+def _cluster_list(cluster_min, cluster_max, o, d, t_min):
+    """Active-cluster schedule per ray tile, ordered FRONT-TO-BACK.
+
+    Returns (count (tiles,), keys (tiles, Cpad), lostep (tiles, 2),
+    t_exit (B,)):
+      * keys packs (inactive, quantized tnear bucket, per-row hit bits,
+        cluster id) — see layout above — sorted so active clusters come
+        first, nearest (by the tile's minimum ray entry distance) first;
+      * lostep[t] = (lo, step) dequantizes a bucket to a SAFE lower
+        bound on the entry distance: bound = lo + bucket*step <= tnear
+        (verified exactly below), ascending along the sorted schedule —
+        once every ray of a row holds a hit closer than the bound, no
+        later cluster can improve that row;
+      * t_exit[i] is ray i's exit distance from the union scene AABB —
+        all geometry lies inside it, so min(best_t, t_exit) bounds the
+        ray's remaining interest even when it has no hit yet (this is
+        what lets rows containing miss rays converge)."""
     b = o.shape[0]
     c = cluster_min.shape[0]
+    if c > _MAX_CLUSTERS:
+        raise ValueError(
+            f"{c} clusters exceeds the packed-key cap {_MAX_CLUSTERS} "
+            f"({_MAX_CLUSTERS * TRI_CHUNK} triangles)"
+        )
     tiles = b // RAYS_PER_TILE
+    rows = b // RAY_TILE
+    cpad = ((c + RAY_TILE - 1) // RAY_TILE) * RAY_TILE
     safe_d = jnp.where(jnp.abs(d) > 1e-8, d, 1e-8)
     inv_d = 1.0 / safe_d
+    # padded clusters get a degenerate AABB at +inf; rays positive on
+    # every axis still "hit" it (inf >= inf) — masked off below
+    cb = jnp.concatenate(
+        [
+            jnp.pad(cluster_min.T, ((0, 0), (0, cpad - c)),
+                    constant_values=jnp.inf),
+            jnp.pad(cluster_max.T, ((0, 0), (0, cpad - c)),
+                    constant_values=jnp.inf),
+            jnp.zeros((2, cpad), jnp.float32),
+        ]
+    )                                         # (8, Cpad)
 
-    def one_tile(args):
-        ot, it = args
-        t1 = (cluster_min[None] - ot[:, None]) * it[:, None]
-        t2 = (cluster_max[None] - ot[:, None]) * it[:, None]
-        tnear = jnp.max(jnp.minimum(t1, t2), axis=-1)
-        tfar = jnp.min(jnp.maximum(t1, t2), axis=-1)
-        hit = (tfar >= jnp.maximum(tnear, t_min)) & (tfar > 0.0)
-        # (rays, C) -> per lane-row any: (DMA_ROWS, C)
-        return jnp.any(hit.reshape(DMA_ROWS, RAY_TILE, c), axis=1)
+    ray_spec = pl.BlockSpec(
+        (DMA_ROWS, RAY_TILE), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    out_spec = pl.BlockSpec(
+        (1, DMA_ROWS, cpad), lambda i: (i, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    row_hit_f, tn_rows = pl.pallas_call(
+        _kernel_prepass,
+        grid=(tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)]
+        + [ray_spec] * 6
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=[out_spec, out_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((tiles, DMA_ROWS, cpad), jnp.float32),
+            jax.ShapeDtypeStruct((tiles, DMA_ROWS, cpad), jnp.float32),
+        ],
+    )(
+        cb,
+        *_ray_comps(o, jnp.zeros_like(o), rows)[:3],
+        *_ray_comps(inv_d, jnp.zeros_like(o), rows)[:3],
+        jnp.full((1,), t_min, jnp.float32),
+    )
+    row_hit = row_hit_f > 0.0          # (tiles, ROWS, Cpad)
+    tn = jnp.min(tn_rows, axis=1)      # (tiles, Cpad)
 
-    row_hit = jax.lax.map(
-        one_tile,
-        (
-            o.reshape(tiles, RAYS_PER_TILE, 3),
-            inv_d.reshape(tiles, RAYS_PER_TILE, 3),
-        ),
-    )                                        # (tiles, ROWS, C)
-    tile_hit = jnp.any(row_hit, axis=1)      # (tiles, C)
-    count = jnp.sum(tile_hit, axis=1).astype(jnp.int32)
-    # stable partition: active cluster ids first
-    order = jnp.argsort(~tile_hit, axis=1, stable=True).astype(jnp.int32)
-    cpad = ((c + RAY_TILE - 1) // RAY_TILE) * RAY_TILE
-    ids = jnp.zeros((tiles, cpad), jnp.int32)
-    ids = ids.at[:, :c].set(order)
-    # pack per-row activity of the ORDERED clusters into 32-bit words
+    # per-ray exit distance from the union scene AABB
+    scene_lo = jnp.min(cluster_min, axis=0)
+    scene_hi = jnp.max(cluster_max, axis=0)
+    e1 = (scene_lo[None, :] - o) * inv_d
+    e2 = (scene_hi[None, :] - o) * inv_d
+    t_exit = jnp.min(jnp.maximum(e1, e2), axis=1)     # (B,)
+
     shifts = jnp.int32(1) << jnp.arange(DMA_ROWS, dtype=jnp.int32)
-    ordered_rows = jnp.take_along_axis(
-        row_hit, order[:, None, :], axis=2
-    )                                        # (tiles, ROWS, C)
-    bits_c = jnp.sum(
-        ordered_rows.astype(jnp.int32) * shifts[None, :, None], axis=1
-    )                                        # (tiles, C)
-    row_bits = jnp.zeros((tiles, cpad), jnp.int32)
-    row_bits = row_bits.at[:, :c].set(bits_c)
-    return count, ids, row_bits
+    bits = jnp.sum(
+        row_hit.astype(jnp.int32) * shifts[None, :, None], axis=1
+    )                                        # (tiles, Cpad)
+    # the all-inf padded AABBs still pass the slab test for rays whose
+    # direction is positive on every axis (inf >= inf) — mask them off
+    bits = jnp.where(jnp.arange(cpad)[None, :] < c, bits, 0)
+    active = bits > 0
+    count = jnp.sum(active, axis=1).astype(jnp.int32)
+
+    # Quantize tnear to _BUCKETS per-tile linear buckets; fix the bucket
+    # down where float rounding would push its edge above tnear (the
+    # edge must stay a LOWER bound for the early-out to be safe).
+    tn_act = jnp.where(active, tn, jnp.inf)
+    lo = jnp.min(tn_act, axis=1)                     # (tiles,)
+    hi = jnp.max(jnp.where(active, tn, -jnp.inf), axis=1)
+    lo = jnp.where(jnp.isfinite(lo), lo, 0.0)
+    hi = jnp.where(jnp.isfinite(hi), hi, 0.0)
+    step = jnp.maximum((hi - lo) / (_BUCKETS - 1), 1e-30)
+    bucket = jnp.clip(
+        ((tn - lo[:, None]) / step[:, None]).astype(jnp.int32),
+        0, _BUCKETS - 1,
+    )
+    edge = lo[:, None] + bucket.astype(jnp.float32) * step[:, None]
+    bucket = jnp.where((edge > tn) & (bucket > 0), bucket - 1, bucket)
+    bucket = jnp.where(active, bucket, 0)
+
+    iota = jnp.broadcast_to(
+        jnp.arange(cpad, dtype=jnp.int32)[None, :], (tiles, cpad)
+    )
+    keys = (
+        jnp.where(active, 0, jnp.int32(1) << 30)
+        | (bucket << _BUCKET_SHIFT)
+        | (bits << _BITS_SHIFT)
+        | iota
+    )
+    # NOT sorted here: XLA's comparator sort measured 24 ms/bounce for
+    # (64, 896) i32; the DMA kernel counting-sorts the active keys by
+    # distance bin on its scalar core instead (~us per tile).
+    lostep = jnp.stack([lo, step], axis=1)           # (tiles, 2)
+    return count, keys, lostep, t_exit
 
 
-def _kernel_culled_dma(count_ref, list_ref, bits_ref, tri_hbm,
-                       ox, oy, oz, dx, dy, dz, tmin_ref,
-                       t_out, id_out, scratch, sem):
+_EARLY_BLOCK = 8   # clusters between early-out refreshes (amortizes the
+                   # cross-lane row-max reductions to ~2 ops / 8 clusters)
+_SORT_BINS = 256   # counting-sort distance bins (top 8 of the 10 bucket
+                   # bits); the early-out bound uses the BIN lower edge,
+                   # which every later schedule entry is >= of
+_BIN_SUB_BITS = 2  # bucket bits below the bin granularity
+
+
+def _kernel_culled_dma(count_ref, key_ref, lostep_ref, tri_hbm,
+                       ox, oy, oz, dx, dy, dz, texit, tmin_ref,
+                       t_out, id_out, sched, hist, scratch, sem):
     n_active = count_ref[0, 0, 0]
     t_min = tmin_ref[0]
+    lo = lostep_ref[0, 0, 0]
+    step = lostep_ref[0, 0, 1]
+    cpad = key_ref.shape[2]
+    bin_shift = _BUCKET_SHIFT + _BIN_SUB_BITS
+
+    # Counting sort of the active cluster keys by distance bin, on the
+    # scalar core into SMEM scratch — the vector units never stall on
+    # it and it replaces a 24 ms XLA sort.
+    def zero(i, carry):
+        hist[i] = 0
+        return carry
+
+    jax.lax.fori_loop(0, _SORT_BINS, zero, 0)
+
+    def cnt(i, carry):
+        k = key_ref[0, 0, i]
+
+        @pl.when(k < (1 << 30))
+        def _():
+            b = (k >> bin_shift) & (_SORT_BINS - 1)
+            hist[b] = hist[b] + 1
+
+        return carry
+
+    jax.lax.fori_loop(0, cpad, cnt, 0)
+
+    def pfx(i, acc):
+        n = hist[i]
+        hist[i] = acc
+        return acc + n
+
+    jax.lax.fori_loop(0, _SORT_BINS, pfx, 0)
+
+    def place(i, carry):
+        k = key_ref[0, 0, i]
+
+        @pl.when(k < (1 << 30))
+        def _():
+            b = (k >> bin_shift) & (_SORT_BINS - 1)
+            p = hist[b]
+            sched[p] = k
+            hist[b] = p + 1
+
+        return carry
+
+    jax.lax.fori_loop(0, cpad, place, 0)
 
     def get_dma(slot, k):
-        cid = list_ref[0, 0, k]
+        cid = sched[k] & (_MAX_CLUSTERS - 1)
         return pltpu.make_async_copy(
             tri_hbm.at[:, pl.ds(cid * TRI_CHUNK, TRI_CHUNK)],
             scratch.at[slot],
@@ -816,8 +1017,12 @@ def _kernel_culled_dma(count_ref, list_ref, bits_ref, tri_hbm,
     def _():
         get_dma(0, 0).start()
 
+    row_weights = jnp.float32(2) ** jax.lax.broadcasted_iota(
+        jnp.int32, (DMA_ROWS, 1), 0
+    ).astype(jnp.float32)                         # (8, 1): 1, 2, ... 128
+
     def body(k, carry):
-        t_cur, id_cur = carry                     # (8, 128) each
+        t_cur, id_cur, open_bits = carry          # (8,128), (8,128), i32
         slot = jax.lax.rem(k, 2)
 
         @pl.when(k + 1 < n_active)
@@ -825,92 +1030,143 @@ def _kernel_culled_dma(count_ref, list_ref, bits_ref, tri_hbm,
             get_dma(jax.lax.rem(k + 1, 2), k + 1).start()
 
         get_dma(slot, k).wait()
-        blk = jnp.transpose(scratch[slot])        # (16,128) -> (128,16)
-        cid = list_ref[0, 0, k]
-        rbits = bits_ref[0, 0, k]
+        key = sched[k]
+        cid = key & (_MAX_CLUSTERS - 1)
+        rbits = (key >> _BITS_SHIFT) & ((1 << DMA_ROWS) - 1)
 
-        def col(kk):
-            return blk[:, kk][:, None]            # (128, 1)
+        # Front-to-back early-out, refreshed every _EARLY_BLOCK clusters:
+        # the schedule is sorted by (quantized) tile-min ray entry
+        # distance, so `bound` lower-bounds every hit in clusters k.. .
+        # A row whose rays ALL hold hits closer than that is finished;
+        # its bit in open_bits clears (rays without hits carry t = inf
+        # and keep their row open). Bits refresh with ONE row-max vector
+        # reduce + ONE weighted full-sum instead of per-cluster scalar
+        # reductions.
+        def refresh(_):
+            # BIN lower edge, not the exact bucket edge: the schedule is
+            # only bin-ordered, so this is the largest bound that lower-
+            # bounds every remaining entry
+            bucket = (key >> _BUCKET_SHIFT) & (
+                (_BUCKETS - 1) ^ ((1 << _BIN_SUB_BITS) - 1)
+            )
+            bound = lo + bucket.astype(jnp.float32) * step
+            # a ray's remaining interest is its best hit so far OR its
+            # scene-AABB exit, whichever is closer — miss rays (t=inf)
+            # therefore stop holding their row open once the schedule
+            # passes their exit point
+            row_max = jnp.max(
+                jnp.minimum(t_cur, texit[...]), axis=1, keepdims=True
+            )                                                 # (8, 1)
+            open_f = jnp.where(row_max >= bound, row_weights, 0.0)
+            return jnp.sum(open_f).astype(jnp.int32)
 
-        def one_row(r, carry, conditioned):
-            def row_compute(carry):
-                t_cur, id_cur = carry
-                rox, roy, roz = (
-                    ox[r:r+1, :], oy[r:r+1, :], oz[r:r+1, :]
-                )
-                rdx, rdy, rdz = (
-                    dx[r:r+1, :], dy[r:r+1, :], dz[r:r+1, :]
-                )
-                os_ = (
-                    col(6) * rox + col(7) * roy + col(8) * roz - col(11)
-                )
-                ds_ = col(6) * rdx + col(7) * rdy + col(8) * rdz
-                t = -os_ / ds_
-                u = (
-                    col(0) * rox + col(1) * roy + col(2) * roz - col(9)
-                ) + t * (col(0) * rdx + col(1) * rdy + col(2) * rdz)
-                v = (
-                    col(3) * rox + col(4) * roy + col(5) * roz - col(10)
-                ) + t * (col(3) * rdx + col(4) * rdy + col(5) * rdz)
-                ok = (
-                    (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
-                    & (t > 1e-8) & (t >= t_min)
-                )
-                tt = jnp.where(ok, t, jnp.inf)
-                tmin_c = jnp.min(tt, axis=0, keepdims=True)
-                ids = (
-                    jax.lax.broadcasted_iota(jnp.int32, tt.shape, 0)
-                    + cid * TRI_CHUNK
-                )
-                idc = jnp.min(
-                    jnp.where(tt == tmin_c, ids, _BIG_ID),
-                    axis=0, keepdims=True,
-                )
-                # In-kernel row update without scatter (unsupported in
-                # Mosaic): static row mask + where.
-                row_t = t_cur[r:r+1, :]
-                better = tmin_c < row_t               # (1, 128)
-                rowmask = (
-                    jax.lax.broadcasted_iota(
-                        jnp.int32, (DMA_ROWS, RAY_TILE), 0
+        open_bits = jax.lax.cond(
+            jax.lax.rem(k, _EARLY_BLOCK) == 0,
+            refresh, lambda ob: ob, open_bits,
+        )
+        eff = rbits & open_bits
+
+        def cluster_compute(carry):
+            t_cur, id_cur = carry
+            blk = jnp.transpose(scratch[slot])    # (16,128) -> (128,16)
+
+            def col(kk):
+                return blk[:, kk][:, None]        # (128, 1)
+
+            def one_row(r, carry, conditioned):
+                def row_compute(carry):
+                    t_cur, id_cur = carry
+                    rox, roy, roz = (
+                        ox[r:r+1, :], oy[r:r+1, :], oz[r:r+1, :]
                     )
-                    == r
-                )
-                upd = rowmask & better                # (DMA_ROWS, 128)
-                return (
-                    jnp.where(upd, tmin_c, t_cur),
-                    jnp.where(upd, idc, id_cur),
+                    rdx, rdy, rdz = (
+                        dx[r:r+1, :], dy[r:r+1, :], dz[r:r+1, :]
+                    )
+                    os_ = (
+                        col(6) * rox + col(7) * roy + col(8) * roz
+                        - col(11)
+                    )
+                    ds_ = col(6) * rdx + col(7) * rdy + col(8) * rdz
+                    t = -os_ / ds_
+                    u = (
+                        col(0) * rox + col(1) * roy + col(2) * roz
+                        - col(9)
+                    ) + t * (col(0) * rdx + col(1) * rdy + col(2) * rdz)
+                    v = (
+                        col(3) * rox + col(4) * roy + col(5) * roz
+                        - col(10)
+                    ) + t * (col(3) * rdx + col(4) * rdy + col(5) * rdz)
+                    ok = (
+                        (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+                        & (t > 1e-8) & (t >= t_min)
+                    )
+                    tt = jnp.where(ok, t, jnp.inf)
+                    tmin_c = jnp.min(tt, axis=0, keepdims=True)
+                    ids = (
+                        jax.lax.broadcasted_iota(jnp.int32, tt.shape, 0)
+                        + cid * TRI_CHUNK
+                    )
+                    idc = jnp.min(
+                        jnp.where(tt == tmin_c, ids, _BIG_ID),
+                        axis=0, keepdims=True,
+                    )
+                    # In-kernel row update without scatter (unsupported
+                    # in Mosaic): static row mask + where. Tie-break on
+                    # the lower reordered id so the result is invariant
+                    # to the (t-sorted) cluster visit order.
+                    row_t = t_cur[r:r+1, :]
+                    row_id = id_cur[r:r+1, :]
+                    better = (tmin_c < row_t) | (
+                        (tmin_c == row_t) & (idc < row_id)
+                    )                                 # (1, 128)
+                    rowmask = (
+                        jax.lax.broadcasted_iota(
+                            jnp.int32, (DMA_ROWS, RAY_TILE), 0
+                        )
+                        == r
+                    )
+                    upd = rowmask & better            # (DMA_ROWS, 128)
+                    return (
+                        jnp.where(upd, tmin_c, t_cur),
+                        jnp.where(upd, idc, id_cur),
+                    )
+
+                if not conditioned:
+                    return row_compute(carry)
+                # Per-row cull: skip rows whose pre-pass bit is clear
+                # or that converged in front of this cluster.
+                return jax.lax.cond(
+                    ((eff >> r) & 1) > 0, row_compute, lambda c: c,
+                    carry,
                 )
 
-            if not conditioned:
-                return row_compute(carry)
-            # Per-row cull: skip (cluster, row) pairs whose pre-pass bit
-            # is clear — rows only pay for their own clusters.
-            row_active = ((rbits >> r) & 1) > 0
+            def all_rows(carry):
+                # fast path: every row live — no per-row branches
+                for r in range(DMA_ROWS):
+                    carry = one_row(r, carry, conditioned=False)
+                return carry
+
+            def some_rows(carry):
+                for r in range(DMA_ROWS):
+                    carry = one_row(r, carry, conditioned=True)
+                return carry
+
+            full_mask = jnp.int32((1 << DMA_ROWS) - 1)
             return jax.lax.cond(
-                row_active, row_compute, lambda c: c, carry
+                eff == full_mask, all_rows, some_rows,
+                (t_cur, id_cur),
             )
 
-        def all_rows(carry):
-            # fast path: cluster active for every row — no per-row branch
-            for r in range(DMA_ROWS):
-                carry = one_row(r, carry, conditioned=False)
-            return carry
-
-        def some_rows(carry):
-            for r in range(DMA_ROWS):
-                carry = one_row(r, carry, conditioned=True)
-            return carry
-
-        full_mask = jnp.int32((1 << DMA_ROWS) - 1)
         t_cur, id_cur = jax.lax.cond(
-            rbits == full_mask, all_rows, some_rows, (t_cur, id_cur)
+            eff > 0, cluster_compute, lambda c: c, (t_cur, id_cur)
         )
-        return t_cur, id_cur
+        return t_cur, id_cur, open_bits
 
     t0 = jnp.full((DMA_ROWS, RAY_TILE), jnp.inf)
     i0 = jnp.full((DMA_ROWS, RAY_TILE), -1, jnp.int32)
-    t_fin, id_fin = jax.lax.fori_loop(0, n_active, body, (t0, i0))
+    t_fin, id_fin, _ = jax.lax.fori_loop(
+        0, n_active, body, (t0, i0, jnp.int32((1 << DMA_ROWS) - 1))
+    )
     t_out[...] = t_fin
     id_out[...] = jnp.maximum(id_fin, 0)
 
@@ -925,16 +1181,12 @@ def pallas_closest_tuv_dma(tri_pack, cluster_min, cluster_max, o, d,
     rows = b // RAY_TILE
     tiles = b // RAYS_PER_TILE
 
-    count, ids, row_bits = _cluster_list(
+    count, keys, lostep, t_exit = _cluster_list(
         cluster_min, cluster_max, o, d, t_min
     )
 
     ray_spec = pl.BlockSpec(
         (DMA_ROWS, RAY_TILE), lambda i: (i, 0), memory_space=pltpu.VMEM
-    )
-    smem_row = pl.BlockSpec(
-        (1, 1, ids.shape[1]), lambda i: (i, 0, 0),
-        memory_space=pltpu.SMEM,
     )
     t, idx = pl.pallas_call(
         _kernel_culled_dma,
@@ -942,11 +1194,13 @@ def pallas_closest_tuv_dma(tri_pack, cluster_min, cluster_max, o, d,
         in_specs=[
             pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
-            smem_row,
-            smem_row,
+            pl.BlockSpec((1, 1, keys.shape[1]), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 2), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),   # tri_pack in HBM
         ]
-        + [ray_spec] * 6
+        + [ray_spec] * 7
         + [pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_specs=[ray_spec, ray_spec],
         out_shape=[
@@ -954,15 +1208,18 @@ def pallas_closest_tuv_dma(tri_pack, cluster_min, cluster_max, o, d,
             jax.ShapeDtypeStruct((rows, RAY_TILE), jnp.int32),
         ],
         scratch_shapes=[
+            pltpu.SMEM((keys.shape[1],), jnp.int32),
+            pltpu.SMEM((_SORT_BINS,), jnp.int32),
             pltpu.VMEM((2, 16, TRI_CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )(
         count.reshape(tiles, 1, 1),
-        ids[:, None, :],
-        row_bits[:, None, :],
+        keys[:, None, :],
+        lostep[:, None, :],
         tri_pack,
         *_ray_comps(o, d, rows),
+        t_exit.reshape(rows, RAY_TILE),
         jnp.full((1,), t_min, jnp.float32),
     )
     return t.reshape(b)[:b0], idx.reshape(b)[:b0]

@@ -86,6 +86,35 @@ class ViewerState:
             img = r.film.to_image()
         return png_bytes(img)
 
+    def apply_settings(self, q: dict) -> set:
+        """Apply /set query params to the Config.
+
+        Geometry-affecting keys re-run load_scene() (which also
+        invalidates solution/CDFs/renderer), matching the reference
+        Controls window's scene/subdivision reload path
+        (ui_windows.h:94-104, 213-224). Returns the changed key set.
+        """
+        geo_keys = {"scene", "subdivision", "convert_quads"}
+        app = self.app
+        with self.lock:
+            changed = set()
+            for k, v in q.items():
+                if hasattr(app.config, k):
+                    cur = getattr(app.config, k)
+                    new = (
+                        v not in ("0", "false", "False")
+                        if isinstance(cur, bool)
+                        else type(cur)(v)
+                    )
+                    if new != cur:
+                        setattr(app.config, k, new)
+                        changed.add(k)
+            if changed & geo_keys:
+                app.load_scene()
+            elif changed:
+                app._renderer = None
+        return changed
+
 
 def make_handler(state: ViewerState):
     class Handler(BaseHTTPRequestHandler):
@@ -146,13 +175,8 @@ def make_handler(state: ViewerState):
                         )
                     self._send("ok")
                 elif url.path == "/set":
-                    with state.lock:
-                        for k, v in q.items():
-                            if hasattr(app.config, k):
-                                cur = getattr(app.config, k)
-                                setattr(app.config, k, type(cur)(v))
-                        app._renderer = None
-                    self._send(f"set {q}")
+                    changed = state.apply_settings(q)
+                    self._send(f"set {q} (changed: {sorted(changed)})")
                 elif url.path == "/solve":
                     with state.lock:
                         app.run_solver()
