@@ -1,8 +1,18 @@
-"""Benchmark: wavefront path-tracing throughput on the Cornell box.
+"""Benchmark: wavefront path-tracing throughput across the BASELINE configs.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-Baseline target (BASELINE.json north star): >100 Mrays/sec/chip on v5e,
-cbox 1024x1024. vs_baseline = value / 100.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
+The headline metric stays the north-star config (cbox 1024x1024, depth 5,
+BSDF sampling; target >100 Mrays/sec/chip, vs_baseline = value/100). The
+"extra" object carries the other BASELINE configs measured in the same run:
+  cbox1024_mis      — guided MIS sampling (the thesis feature), same scene
+  cbox512_mirror    — 512x512 depth-8 mirror tall box (BASELINE config #2)
+  stress100k        — 101k-tri pbrt scene, culled DMA backend (config #4)
+  flops_util        — achieved vs peak VPU FLOP/s for the headline kernel
+
+Timing is PIPELINED (n passes issued back-to-back, one device sync at the
+end): the axon tunnel enters a ~25 ms-per-sync mode after the first d2h
+transfer in a process, so per-pass blocking would measure tunnel RTT, not
+render throughput.
 """
 
 import json
@@ -10,52 +20,129 @@ import sys
 import time
 
 
-def main():
-    import jax
+def _bench_renderer(r, min_passes=3, min_seconds=6.0, max_passes=16):
+    """Warmup one pass, then pipelined timed passes; returns Mrays/s."""
+    r.step()  # compile + warmup
+    r.reset_stats()
+    t0 = time.time()
+    passes = 0
+    while passes < min_passes or (
+        time.time() - t0 < min_seconds and passes < max_passes
+    ):
+        r.step(block=False)
+        passes += 1
+    r.sync()
+    return r.mrays_per_sec
 
+
+def main():
     from tpu_pathtracer.render.camera import CameraController
     from tpu_pathtracer.render.renderer import (
         ProgressiveRenderer,
         RenderSettings,
     )
     from tpu_pathtracer.scene.builtin import cornell_box
-
-    width = height = 1024
-    depth = 5
-    geom = cornell_box("quads").build()
-    cam = CameraController.default().build()
     from tpu_pathtracer.ops.intersect_pallas import (
+        CulledScene,
         pack_attributes,
         pack_triangles,
     )
 
+    extra = {}
+
+    # --- headline: cbox 1024^2 depth 5, BSDF ---
+    geom = cornell_box("quads").build()
+    cam = CameraController.default().build()
+    packs = dict(tri_pack=pack_triangles(geom),
+                 attr_pack=pack_attributes(geom))
     settings = RenderSettings(
-        width=width,
-        height=height,
-        max_depth=depth,
-        spp_per_pass=16,
-        ray_chunk=1 << 16,
-        wavefront=True,
+        width=1024, height=1024, max_depth=5, spp_per_pass=16,
+        ray_chunk=1 << 16, wavefront=True,
     )
-    r = ProgressiveRenderer(
-        geom, cam, settings,
-        tri_pack=pack_triangles(geom),
-        attr_pack=pack_attributes(geom),
+    mrays = _bench_renderer(ProgressiveRenderer(geom, cam, settings, **packs))
+
+    # VPU utilization of the headline run: the wavefront loop tests every
+    # ray against all 40 canonical triangles (brute in-kernel), ~24 flops
+    # per ray-tri test (12 FMA/mul + min/selects in the t/u/v evaluation).
+    # v5e VPU peak: 8 sublanes x 128 lanes x 4 MACs x 2 flops x 0.94 GHz
+    # ~= 7.7 Tflop/s. Derivation in docs/RESULTS.md.
+    tri_tests = geom.num_tris * 24.0
+    flops_per_ray = tri_tests
+    extra["flops_util_headline"] = round(
+        mrays * 1e6 * flops_per_ray / 7.7e12, 4
     )
 
-    # Warmup (compile + first pass)
-    r.step()
-    r.total_rays = 0
-    r.render_seconds = 0.0
+    # --- guided MIS on the same scene (needs radiosity + CDFs) ---
+    try:
+        import jax
 
-    # Timed: at least 3 passes or 10 seconds, whichever first
-    t0 = time.time()
-    passes = 0
-    while passes < 3 or (time.time() - t0 < 10.0 and passes < 16):
-        r.step()
-        passes += 1
+        from tpu_pathtracer.ops.guiding import build_cdfs
+        from tpu_pathtracer.core.math_utils import luminance
+        from tpu_pathtracer.render.radiosity import solve_radiosity
 
-    mrays = r.mrays_per_sec
+        sol = solve_radiosity(geom, jax.random.key(12345),
+                              num_iterations=10, mc_samples=64)
+        cdfs = build_cdfs(luminance(sol.rad_grid))
+        from tpu_pathtracer.core.constants import SAMPLING_MIS
+
+        s_mis = RenderSettings(
+            width=1024, height=1024, max_depth=5, spp_per_pass=16,
+            ray_chunk=1 << 16, wavefront=True, sampling_mode=SAMPLING_MIS,
+        )
+        r = ProgressiveRenderer(geom, cam, s_mis, cdfs=cdfs,
+                                mis_bsdf_fraction=0.5, **packs)
+        extra["cbox1024_mis"] = round(_bench_renderer(r), 2)
+    except Exception as e:  # noqa: BLE001
+        extra["cbox1024_mis"] = f"error: {e}"
+
+    # --- config #2: 512^2, depth 8, mirror tall box ---
+    try:
+        geom_m = cornell_box("quads", mirror_tall_box=True).build()
+        s2 = RenderSettings(
+            width=512, height=512, max_depth=8, spp_per_pass=32,
+            ray_chunk=1 << 16, wavefront=True,
+        )
+        extra["cbox512_mirror"] = round(
+            _bench_renderer(ProgressiveRenderer(
+                geom_m, cam, s2,
+                tri_pack=pack_triangles(geom_m),
+                attr_pack=pack_attributes(geom_m))),
+            2,
+        )
+    except Exception as e:  # noqa: BLE001
+        extra["cbox512_mirror"] = f"error: {e}"
+
+    # --- config #4: 101k-tri pbrt stress scene, culled DMA backend ---
+    try:
+        import numpy as np
+
+        from tpu_pathtracer.scene.pbrt_loader import parse_pbrt
+
+        scene = parse_pbrt("scenes/stress100k.pbrt")
+        geom_s = scene.prims.build()
+        eye, tgt, up = scene.camera_lookat
+        cam_s = CameraController(
+            lookfrom=np.array(eye, np.float32),
+            lookat=np.array(tgt, np.float32),
+            vup=np.array(up, np.float32),
+            vfov=scene.camera_fov or 40.0,
+            aspect=1.0,
+        ).build()
+        s4 = RenderSettings(
+            width=256, height=256, max_depth=4, spp_per_pass=8,
+            ray_chunk=1 << 16, wavefront=True,
+        )
+        extra["stress100k"] = round(
+            _bench_renderer(
+                ProgressiveRenderer(geom_s, cam_s, s4,
+                                    culled=CulledScene(geom_s)),
+                min_seconds=3.0, max_passes=8,
+            ),
+            2,
+        )
+    except Exception as e:  # noqa: BLE001
+        extra["stress100k"] = f"error: {e}"
+
     print(
         json.dumps(
             {
@@ -63,6 +150,7 @@ def main():
                 "value": round(mrays, 2),
                 "unit": "Mrays/sec/chip",
                 "vs_baseline": round(mrays / 100.0, 3),
+                "extra": extra,
             }
         )
     )

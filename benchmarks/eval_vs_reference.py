@@ -1,0 +1,214 @@
+"""Cross-renderer accuracy: our renders vs the CUDA reference's own PNGs.
+
+The reference repo publishes its renders (outputs/cbox_pt_23.png and the
+radiosity sweep cbox_sub{N}_step{M}.png) produced from its default view
+(camera (0.5,3,8.5) -> (0,2.5,0), fov 40, AppConfig at
+application_state.h:282-292) of scenes/cbox_quads.obj at the GLFW
+framebuffer size 1085x1026. This script loads that same scene file and
+camera, re-renders each view with our renderer, and reports RMSE — the
+BASELINE.md "<=1% RMSE vs CUDA reference" check.
+
+The radiosity sweep is near-deterministic (MC form factors average out at
+64 samples/pair), so those views must match tightly. The path-traced view
+is stochastic; for it we also render OUR OWN frame at the reference's
+sample count and report its RMSE against our converged render — if the
+cross-renderer residual matches that self-noise yardstick, the estimator
+agrees and the difference is MC variance, not bias.
+
+Usage:
+  python benchmarks/eval_vs_reference.py radiosity          # sub0..3, step5
+  python benchmarks/eval_vs_reference.py radiosity4         # sub4 step0..10
+  python benchmarks/eval_vs_reference.py pt [--spp 1024]
+Results accumulate in benchmarks/eval_vs_reference_result.json; our
+renders land in outputs/ref_compare/.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import numpy as np
+
+REF_SCENE = "/root/reference/scenes/cbox_quads.obj"
+REF_OUT = "/root/reference/outputs"
+HERE = os.path.dirname(os.path.abspath(__file__))
+RESULT = os.path.join(HERE, "eval_vs_reference_result.json")
+OUT_DIR = os.path.join(HERE, "..", "outputs", "ref_compare")
+W, H = 1085, 1026  # reference framebuffer size (its saved PNGs)
+CAM_ORIGIN = (0.5, 3.0, 8.5)
+CAM_LOOKAT = (0.0, 2.5, 0.0)
+CAM_FOV = 40.0
+
+
+def load_ref_png(name: str) -> np.ndarray:
+    from PIL import Image
+
+    return np.asarray(Image.open(os.path.join(REF_OUT, name)).convert("RGB"))
+
+
+def edge_mask(img_u8: np.ndarray, dilate: int = 2) -> np.ndarray:
+    """True at pixels near strong image gradients (prim silhouettes),
+    where sub-pixel jitter differences dominate any estimator error."""
+    g = img_u8.astype(np.int16)
+    gx = np.zeros(img_u8.shape[:2], bool)
+    gx[:, 1:] |= (np.abs(np.diff(g, axis=1)).max(-1) > 8)
+    gx[1:, :] |= (np.abs(np.diff(g, axis=0)).max(-1) > 8)
+    for _ in range(dilate):
+        m = gx.copy()
+        m[1:, :] |= gx[:-1, :]
+        m[:-1, :] |= gx[1:, :]
+        m[:, 1:] |= gx[:, :-1]
+        m[:, :-1] |= gx[:, 1:]
+        gx = m
+    return gx
+
+
+def compare(ours_u8: np.ndarray, ref_u8: np.ndarray) -> dict:
+    assert ours_u8.shape == ref_u8.shape, (ours_u8.shape, ref_u8.shape)
+    d = ours_u8.astype(np.float64) - ref_u8.astype(np.float64)
+    rmse = float(np.sqrt((d ** 2).mean()))
+    interior = ~edge_mask(ref_u8)
+    di = d[interior]
+    return {
+        "rmse_8bit": round(rmse, 3),
+        "rel_rmse": round(rmse / 255.0, 5),
+        "interior_rmse_8bit": round(float(np.sqrt((di ** 2).mean())), 3),
+        "interior_rel_rmse": round(float(np.sqrt((di ** 2).mean())) / 255.0, 5),
+        "interior_frac": round(float(interior.mean()), 3),
+    }
+
+
+def build_geom(sub: int):
+    from tpu_pathtracer.scene.mesh import subdivide
+    from tpu_pathtracer.scene.obj_loader import load_obj
+
+    prims = load_obj(REF_SCENE)
+    if sub:
+        prims = subdivide(prims, sub)
+    return prims.build()
+
+
+def camera():
+    from tpu_pathtracer.render.camera import CameraController
+
+    return CameraController(
+        lookfrom=np.array(CAM_ORIGIN, np.float32),
+        lookat=np.array(CAM_LOOKAT, np.float32),
+        vup=np.array([0.0, 1.0, 0.0], np.float32),
+        vfov=CAM_FOV,
+        aspect=W / H,
+    ).build()
+
+
+def save_result(key: str, value: dict) -> None:
+    data = {}
+    if os.path.exists(RESULT):
+        with open(RESULT) as f:
+            data = json.load(f)
+    data[key] = value
+    with open(RESULT, "w") as f:
+        json.dump(data, f, indent=2)
+    print(key, "->", json.dumps(value))
+
+
+def save_png(name: str, img_u8: np.ndarray) -> None:
+    from tpu_pathtracer.utils.png import write_png
+
+    os.makedirs(OUT_DIR, exist_ok=True)
+    write_png(os.path.join(OUT_DIR, name), img_u8)
+
+
+def render_radiosity_view(geom, radiosity, spp: int) -> np.ndarray:
+    import jax
+
+    from tpu_pathtracer.render.renderer import (
+        RenderSettings,
+        render_radiosity_view as rrv,
+    )
+
+    s = RenderSettings(
+        width=W, height=H, spp_per_pass=spp, ray_chunk=65536,
+    )
+    img = rrv(geom, radiosity, camera(), jax.random.key(7), s)
+    return np.asarray(img)[::-1]  # row 0 = top, like the reference PNG
+
+
+def run_radiosity(subs, steps, spp):
+    import jax
+
+    from tpu_pathtracer.render.radiosity import solve_radiosity
+
+    for sub in subs:
+        geom = build_geom(sub)
+        n_iter = max(steps)
+        sol = solve_radiosity(
+            geom, jax.random.key(12345), num_iterations=n_iter,
+            use_monte_carlo=True, mc_samples=64,
+        )
+        for step in steps:
+            if step == n_iter:
+                rad = sol.radiosity
+            else:
+                # history_at(k) = k steps back from the latest entry
+                # (which is B after n_iter-1 iterations)
+                rad = sol.history_at(n_iter - 1 - step)
+            ours = render_radiosity_view(geom, rad, spp)
+            name = f"cbox_sub{sub}_step{step}.png"
+            ref = load_ref_png(name)
+            save_png(name, ours)
+            save_result(f"radiosity/{name}", compare(ours, ref))
+
+
+def run_pt(spp: int, ref_spp: int, depth: int):
+    import jax
+
+    from tpu_pathtracer.render.camera import CameraController
+    from tpu_pathtracer.render.renderer import (
+        ProgressiveRenderer,
+        RenderSettings,
+    )
+
+    geom = build_geom(0)
+    ref = load_ref_png("cbox_pt_23.png")
+
+    def render(total_spp, tag):
+        s = RenderSettings(
+            width=W, height=H, max_depth=depth,
+            spp_per_pass=1, ray_chunk=65536,
+        )
+        r = ProgressiveRenderer(geom, camera(), s)
+        r.render(total_spp)
+        img = np.asarray(r.film.to_image())
+        save_png(f"cbox_pt_{tag}.png", img)
+        return img
+
+    converged = render(spp, f"{spp}")
+    ours_ref_spp = render(ref_spp, f"{ref_spp}")
+    save_result("pt/converged_vs_reference",
+                compare(converged, ref))
+    save_result("pt/self_noise_yardstick",
+                {**compare(ours_ref_spp, converged),
+                 "note": f"our {ref_spp}spp frame vs our {spp}spp frame; "
+                         "cross-renderer residual at or below this level "
+                         "is MC variance, not estimator bias"})
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("which", choices=["radiosity", "radiosity4", "pt"])
+    p.add_argument("--spp", type=int, default=0)
+    p.add_argument("--ref-spp", type=int, default=23)
+    p.add_argument("--depth", type=int, default=5)
+    args = p.parse_args()
+    if args.which == "radiosity":
+        run_radiosity(subs=(0, 1, 2, 3), steps=(5,), spp=args.spp or 16)
+    elif args.which == "radiosity4":
+        run_radiosity(subs=(4,), steps=tuple(range(11)), spp=args.spp or 16)
+    else:
+        run_pt(args.spp or 1024, args.ref_spp, args.depth)
+
+
+if __name__ == "__main__":
+    main()

@@ -115,9 +115,11 @@ TptMesh* tpt_load_obj(const char* path_c) {
 
   std::string line;
   while (std::getline(f, line)) {
+    size_t hash = line.find('#');          // inline comments too
+    if (hash != std::string::npos) line.resize(hash);
     if (line.empty()) continue;
     char c0 = line[0];
-    if (c0 == '#' || c0 == 'o' || c0 == 's') continue;
+    if (c0 == 'o' || c0 == 's') continue;
     std::istringstream iss(line);
     std::string key;
     iss >> key;

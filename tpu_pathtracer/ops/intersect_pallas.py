@@ -761,70 +761,53 @@ _BUCKETS = 1 << (30 - _BUCKET_SHIFT)
 _MAX_CLUSTERS = 1 << _ID_BITS
 
 
-def _kernel_prepass(cb_ref, ox, oy, oz, ix, iy, iz, tmin_ref,
-                    rowhit_out, tn_out):
+def _kernel_prepass(cb_ref, ox, oy, oz, ix, iy, iz, tmin_ref, out_ref):
     """Per-tile cluster visibility pre-pass at register speed.
 
-    The XLA formulation of these slab tests (52M ray/cluster pairs per
-    bounce on the 101k-tri scene) measured 25-32 ms — HBM-bound on its
-    own temporaries. Here rays stay in registers: 8 rays ride the
-    sublanes against all Cpad clusters on the lanes, 16 groups x 8 rows
-    cover the 1024-ray tile. Outputs per lane-row: did any ray hit each
-    cluster, and the min entry distance."""
+    One grid step = (1024-ray tile i) x (128-cluster block j): clusters
+    ride the sublanes, rays the lanes, so each lane-row's slab test is a
+    dense (128, 128) VPU op. The 52M ray/cluster pairs per bounce of the
+    101k-tri scene cost ~1 ms here vs 25-32 ms for the XLA lax.map
+    formulation (HBM-bound on its own temporaries).
+
+    Layout notes (measured, not guessed): the chunk loop must live in
+    the GRID, not a fori_loop with dynamic cb/out slices — the
+    dynamic-slice variant ran 28 ms. The output is (tiles, cpad, 16)
+    with per-step block (1, 128, 16): per-cluster row-hit flags go in
+    lanes 0..7 and the tile-min entry distance in lanes 8..15, which
+    keeps every write in the native (cluster-sublane) layout — writing
+    a (ROWS, cpad) output instead would need a (128, 8) -> (8, 128)
+    transpose per step.
+    """
     t_min = tmin_ref[0]
-    cpad = cb_ref.shape[1]
+    blk = jnp.transpose(cb_ref[...])          # (128 clusters, 8)
 
-    # Same layout discipline as the intersect kernels: 128 clusters on
-    # sublanes x 128 rays on lanes per block — (8, 1)-slice formulations
-    # drowned in per-iteration relayout overhead. The chunk loop is a
-    # fori_loop, NOT a Python unroll: a fully unrolled ~30k-instruction
-    # body overflows instruction memory and runs ~12x slower.
-    ones = jnp.ones((RAY_TILE, 1), jnp.float32)
+    def col(k):
+        return blk[:, k][:, None]             # (128, 1)
 
-    def chunk(c, carry):
-        blk = jnp.transpose(
-            cb_ref[:, pl.ds(c * TRI_CHUNK, TRI_CHUNK)]
-        )                                     # (128, 8)
-
-        def col(k):
-            return blk[:, k][:, None]         # (128, 1)
-
-        hits8 = []
-        tn_acc = jnp.full((TRI_CHUNK, RAY_TILE), jnp.inf, jnp.float32)
-        for r in range(DMA_ROWS):
-            ro = (ox[r:r+1, :], oy[r:r+1, :], oz[r:r+1, :])
-            ri = (ix[r:r+1, :], iy[r:r+1, :], iz[r:r+1, :])
-            tn = jnp.full((TRI_CHUNK, RAY_TILE), t_min, jnp.float32)
-            tf = jnp.full((TRI_CHUNK, RAY_TILE), jnp.inf, jnp.float32)
-            for ax in range(3):
-                lo = (col(ax) - ro[ax]) * ri[ax]
-                hi = (col(ax + 3) - ro[ax]) * ri[ax]
-                tn = jnp.maximum(tn, jnp.minimum(lo, hi))
-                tf = jnp.minimum(tf, jnp.maximum(lo, hi))
-            hit = (tf >= tn) & (tf > 0.0)     # (clusters, rays)
-            # "any ray in this row hits" via an MXU matvec (hit counts
-            # <= 128 are exact at any precision) — cross-lane VPU
-            # reductions here measured ~3 us each and dominated the
-            # kernel
-            cnt = jax.lax.dot_general(
-                hit.astype(jnp.float32), ones,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )                                 # (clusters, 1)
-            hits8.append(cnt)
-            tn_acc = jnp.minimum(tn_acc, jnp.where(hit, tn, jnp.inf))
-        sl = pl.ds(c * TRI_CHUNK, TRI_CHUNK)
-        rowhit_out[0, :, sl] = jnp.transpose(
-            jnp.concatenate(hits8, axis=1)
+    hits8 = []
+    tn_min = jnp.full((TRI_CHUNK, 1), jnp.inf, jnp.float32)
+    for r in range(DMA_ROWS):
+        ro = (ox[r:r+1, :], oy[r:r+1, :], oz[r:r+1, :])
+        ri = (ix[r:r+1, :], iy[r:r+1, :], iz[r:r+1, :])
+        tn = jnp.full((TRI_CHUNK, RAY_TILE), t_min, jnp.float32)
+        tf = jnp.full((TRI_CHUNK, RAY_TILE), jnp.inf, jnp.float32)
+        for ax in range(3):
+            lo = (col(ax) - ro[ax]) * ri[ax]
+            hi = (col(ax + 3) - ro[ax]) * ri[ax]
+            tn = jnp.maximum(tn, jnp.minimum(lo, hi))
+            tf = jnp.minimum(tf, jnp.maximum(lo, hi))
+        hit = (tf >= tn) & (tf > 0.0)         # (clusters, rays)
+        hits8.append(
+            jnp.max(hit.astype(jnp.float32), axis=1, keepdims=True)
+        )                                     # (128, 1) row-any
+        tn_min = jnp.minimum(
+            tn_min,
+            jnp.min(jnp.where(hit, tn, jnp.inf), axis=1, keepdims=True),
         )
-        # tile-level min entry distance: one lane reduce per chunk
-        tn_min = jnp.min(tn_acc, axis=1, keepdims=True)   # (clusters, 1)
-        tn_out[0, :, sl] = jnp.broadcast_to(
-            jnp.transpose(tn_min), (DMA_ROWS, TRI_CHUNK)
-        )
-        return carry
-
-    jax.lax.fori_loop(0, cpad // TRI_CHUNK, chunk, 0)
+    out_ref[0] = jnp.concatenate(
+        hits8 + [jnp.broadcast_to(tn_min, (TRI_CHUNK, DMA_ROWS))], axis=1
+    )                                         # (128, 16)
 
 
 def _cluster_list(cluster_min, cluster_max, o, d, t_min):
@@ -869,31 +852,33 @@ def _cluster_list(cluster_min, cluster_max, o, d, t_min):
     )                                         # (8, Cpad)
 
     ray_spec = pl.BlockSpec(
-        (DMA_ROWS, RAY_TILE), lambda i: (i, 0), memory_space=pltpu.VMEM
-    )
-    out_spec = pl.BlockSpec(
-        (1, DMA_ROWS, cpad), lambda i: (i, 0, 0),
+        (DMA_ROWS, RAY_TILE), lambda i, j: (i, 0),
         memory_space=pltpu.VMEM,
     )
-    row_hit_f, tn_rows = pl.pallas_call(
+    pre = pl.pallas_call(
         _kernel_prepass,
-        grid=(tiles,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)]
+        grid=(tiles, cpad // TRI_CHUNK),
+        in_specs=[
+            pl.BlockSpec((8, TRI_CHUNK), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM)
+        ]
         + [ray_spec] * 6
         + [pl.BlockSpec(memory_space=pltpu.SMEM)],
-        out_specs=[out_spec, out_spec],
-        out_shape=[
-            jax.ShapeDtypeStruct((tiles, DMA_ROWS, cpad), jnp.float32),
-            jax.ShapeDtypeStruct((tiles, DMA_ROWS, cpad), jnp.float32),
-        ],
+        out_specs=pl.BlockSpec(
+            (1, TRI_CHUNK, 2 * DMA_ROWS), lambda i, j: (i, j, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (tiles, cpad, 2 * DMA_ROWS), jnp.float32
+        ),
     )(
         cb,
         *_ray_comps(o, jnp.zeros_like(o), rows)[:3],
         *_ray_comps(inv_d, jnp.zeros_like(o), rows)[:3],
         jnp.full((1,), t_min, jnp.float32),
     )
-    row_hit = row_hit_f > 0.0          # (tiles, ROWS, Cpad)
-    tn = jnp.min(tn_rows, axis=1)      # (tiles, Cpad)
+    row_hit = pre[:, :, :DMA_ROWS] > 0.0   # (tiles, Cpad, ROWS)
+    tn = pre[:, :, DMA_ROWS]               # (tiles, Cpad)
 
     # per-ray exit distance from the union scene AABB
     scene_lo = jnp.min(cluster_min, axis=0)
@@ -904,7 +889,7 @@ def _cluster_list(cluster_min, cluster_max, o, d, t_min):
 
     shifts = jnp.int32(1) << jnp.arange(DMA_ROWS, dtype=jnp.int32)
     bits = jnp.sum(
-        row_hit.astype(jnp.int32) * shifts[None, :, None], axis=1
+        row_hit.astype(jnp.int32) * shifts[None, None, :], axis=2
     )                                        # (tiles, Cpad)
     # the all-inf padded AABBs still pass the slab test for rays whose
     # direction is positive on every axis (inf >= inf) — mask them off
@@ -955,7 +940,8 @@ _BIN_SUB_BITS = 2  # bucket bits below the bin granularity
 
 def _kernel_culled_dma(count_ref, key_ref, lostep_ref, tri_hbm,
                        ox, oy, oz, dx, dy, dz, texit, tmin_ref,
-                       t_out, id_out, sched, hist, scratch, sem):
+                       t_out, id_out, stats_out,
+                       sched, hist, scratch, sem):
     n_active = count_ref[0, 0, 0]
     t_min = tmin_ref[0]
     lo = lostep_ref[0, 0, 0]
@@ -1160,22 +1146,40 @@ def _kernel_culled_dma(count_ref, key_ref, lostep_ref, tri_hbm,
         t_cur, id_cur = jax.lax.cond(
             eff > 0, cluster_compute, lambda c: c, (t_cur, id_cur)
         )
-        return t_cur, id_cur, open_bits
+        return k + 1, t_cur, id_cur, open_bits
 
     t0 = jnp.full((DMA_ROWS, RAY_TILE), jnp.inf)
     i0 = jnp.full((DMA_ROWS, RAY_TILE), -1, jnp.int32)
-    t_fin, id_fin, _ = jax.lax.fori_loop(
-        0, n_active, body, (t0, i0, jnp.int32((1 << DMA_ROWS) - 1))
+
+    # while (not fori): when every row has closed, STOP — no more DMA
+    # waits, no more schedule walking. On coherent primary tiles this
+    # terminates after a small front-to-back prefix of the schedule.
+    def cond(carry):
+        k, _, _, open_bits = carry
+        return (k < n_active) & (open_bits != 0)
+
+    k_fin, t_fin, id_fin, _ = jax.lax.while_loop(
+        cond, lambda c: body(c[0], c[1:]),
+        (jnp.int32(0), t0, i0, jnp.int32((1 << DMA_ROWS) - 1)),
     )
+    # a prefetch for cluster k_fin may still be in flight on early exit;
+    # retire it before the kernel ends
+    @pl.when((k_fin > 0) & (k_fin < n_active))
+    def _():
+        get_dma(jax.lax.rem(k_fin, 2), k_fin).wait()
+
+    stats_out[0, 0, 0] = k_fin
     t_out[...] = t_fin
     id_out[...] = jnp.maximum(id_fin, 0)
 
 
-@partial(jax.jit, static_argnames=())
+@partial(jax.jit, static_argnames=("return_stats",))
 def pallas_closest_tuv_dma(tri_pack, cluster_min, cluster_max, o, d,
-                           t_min=1e-4):
+                           t_min=1e-4, return_stats=False):
     """(t, reordered tri idx) closest hit; triangles stream from HBM.
-    Works for arbitrary scene sizes and batch sizes."""
+    Works for arbitrary scene sizes and batch sizes. With
+    return_stats=True also returns (visited, scheduled) cluster counts
+    per ray tile (early-out diagnostics)."""
     (o, d), b0 = _pad_rays(o, d)
     b = o.shape[0]
     rows = b // RAY_TILE
@@ -1188,7 +1192,7 @@ def pallas_closest_tuv_dma(tri_pack, cluster_min, cluster_max, o, d,
     ray_spec = pl.BlockSpec(
         (DMA_ROWS, RAY_TILE), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
-    t, idx = pl.pallas_call(
+    t, idx, stats = pl.pallas_call(
         _kernel_culled_dma,
         grid=(tiles,),
         in_specs=[
@@ -1202,10 +1206,17 @@ def pallas_closest_tuv_dma(tri_pack, cluster_min, cluster_max, o, d,
         ]
         + [ray_spec] * 7
         + [pl.BlockSpec(memory_space=pltpu.SMEM)],
-        out_specs=[ray_spec, ray_spec],
+        out_specs=[
+            ray_spec,
+            ray_spec,
+            pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
         out_shape=[
             jax.ShapeDtypeStruct((rows, RAY_TILE), jnp.float32),
             jax.ShapeDtypeStruct((rows, RAY_TILE), jnp.int32),
+            # clusters actually visited before every row closed
+            jax.ShapeDtypeStruct((tiles, 1, 1), jnp.int32),
         ],
         scratch_shapes=[
             pltpu.SMEM((keys.shape[1],), jnp.int32),
@@ -1222,4 +1233,7 @@ def pallas_closest_tuv_dma(tri_pack, cluster_min, cluster_max, o, d,
         t_exit.reshape(rows, RAY_TILE),
         jnp.full((1,), t_min, jnp.float32),
     )
+    if return_stats:
+        return (t.reshape(b)[:b0], idx.reshape(b)[:b0],
+                stats.reshape(tiles), count)
     return t.reshape(b)[:b0], idx.reshape(b)[:b0]

@@ -267,11 +267,22 @@ class ProgressiveRenderer:
         self.mis_bsdf_fraction = jnp.float32(mis_bsdf_fraction)
         self.key = rng.base_key(seed)
         self.film = Film.create(settings.width, settings.height)
-        self.total_rays = 0
+        # Ray/spp counters accumulate ON DEVICE and mirror in Python:
+        # fetching them per pass (int()/float()) is a d2h transfer, which
+        # permanently flips the axon tunnel into sync mode (~25 ms per
+        # later block_until_ready) and stalls the pipeline every pass.
+        # f32 accumulator of per-pass ray counts: ~1e-7 relative error,
+        # only ever used for throughput reporting
+        self._rays_dev = jnp.zeros((), jnp.float32)
+        self._spp_host = 0
         self.render_seconds = 0.0
 
-    def step(self) -> Film:
-        """One render pass (spp_per_pass samples/pixel)."""
+    def step(self, block: bool = True) -> Film:
+        """One render pass (spp_per_pass samples/pixel).
+
+        block=False skips the device sync: passes pipeline back-to-back
+        and `render_seconds` stays meaningful only across a final
+        `sync()`."""
         t0 = time.perf_counter()
         self.film, rays = render_pass(
             self.geom,
@@ -286,18 +297,33 @@ class ProgressiveRenderer:
             self.attr_pack,
             self.culled,
         )
-        jax.block_until_ready(self.film.accum)
-        dt = time.perf_counter() - t0
-        self.render_seconds += dt
-        self.total_rays += int(rays)
+        self._rays_dev = self._rays_dev + rays.astype(jnp.float32)
+        self._spp_host += self.settings.spp_per_pass
+        if block:
+            jax.block_until_ready(self.film.accum)
+        self.render_seconds += time.perf_counter() - t0
         return self.film
 
+    def sync(self) -> None:
+        t0 = time.perf_counter()
+        jax.block_until_ready(self.film.accum)
+        self.render_seconds += time.perf_counter() - t0
+
+    def reset_stats(self) -> None:
+        """Zero the throughput counters (e.g. after a warmup pass)."""
+        self._rays_dev = jnp.zeros((), jnp.float32)
+        self.render_seconds = 0.0
+
     def render(self, total_spp: int) -> Film:
-        done = int(self.film.spp)
-        while done < total_spp:
-            self.step()
-            done = int(self.film.spp)
+        # Pipelined: no per-pass sync, no per-pass spp fetch.
+        while self._spp_host < total_spp:
+            self.step(block=False)
+        self.sync()
         return self.film
+
+    @property
+    def total_rays(self) -> int:
+        return int(self._rays_dev)
 
     @property
     def mrays_per_sec(self) -> float:

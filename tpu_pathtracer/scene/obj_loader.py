@@ -136,8 +136,8 @@ def _load_obj_py(path: str) -> PrimList:
 
     with open(path) as f:
         for lineno, line in enumerate(f, 1):
-            line = line.strip()
-            if not line or line[0] in "#os":
+            line = line.split("#", 1)[0].strip()  # inline comments too
+            if not line or line[0] in "os":
                 # comments, object names, smoothing groups: ignored
                 # (file_manager.h:120)
                 continue
