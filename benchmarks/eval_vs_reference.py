@@ -28,8 +28,12 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import sys
 
 import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                ".."))
 
 REF_SCENE = "/root/reference/scenes/cbox_quads.obj"
 REF_OUT = "/root/reference/outputs"
@@ -37,7 +41,14 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 RESULT = os.path.join(HERE, "eval_vs_reference_result.json")
 OUT_DIR = os.path.join(HERE, "..", "outputs", "ref_compare")
 W, H = 1085, 1026  # reference framebuffer size (its saved PNGs)
-CAM_ORIGIN = (0.5, 3.0, 8.5)
+# The reference's renderFrame() calls updateCameraOrbit() every frame
+# (application.h:162), which REPLACES the configured camera_origin with
+# an orbit position at yaw=90, pitch=0 on the sphere of radius
+# |camera_origin - look_at| around look_at (sensor.h:57-68). The
+# effective view of every saved PNG is therefore:
+_R = float(np.linalg.norm(np.array([0.5, 3.0, 8.5]) -
+                          np.array([0.0, 2.5, 0.0])))  # 8.5294
+CAM_ORIGIN = (0.0, 2.5, _R)
 CAM_LOOKAT = (0.0, 2.5, 0.0)
 CAM_FOV = 40.0
 
@@ -80,11 +91,21 @@ def compare(ours_u8: np.ndarray, ref_u8: np.ndarray) -> dict:
     }
 
 
-def build_geom(sub: int):
-    from tpu_pathtracer.scene.mesh import subdivide
+def build_geom(sub: int, convert_quads: bool = True):
+    """Reproduce the reference's scene pipeline for its published sweep
+    renders: the per-triangle shading structure in those PNGs shows they
+    were produced with quad->triangle conversion ON
+    (convertQuadsToTriangles, application_state.h:323-366) before
+    subdivision."""
+    from tpu_pathtracer.scene.mesh import (
+        convert_quads_to_triangles,
+        subdivide,
+    )
     from tpu_pathtracer.scene.obj_loader import load_obj
 
     prims = load_obj(REF_SCENE)
+    if convert_quads:
+        prims = convert_quads_to_triangles(prims)
     if sub:
         prims = subdivide(prims, sub)
     return prims.build()

@@ -136,3 +136,23 @@ class TestFilm:
         f = Film(accum=accum, spp=f.spp + 1, passes=f.passes)
         img = f.to_image()
         assert img[-1].sum() > img[0].sum()
+
+
+class TestProfilerSvg:
+    def test_svg_renders_history_and_guides(self):
+        from tpu_pathtracer.utils.profiler import Profiler
+        from tpu_pathtracer.viewer.profgraph import profiler_svg
+
+        p = Profiler()
+        for i in range(130):          # overflow the 120-frame ring
+            p.begin_frame()
+            with p.stage("Render"):
+                pass
+            p.frame_history.append(1.0 / (45.0 + i % 10))
+            p._frame_start = None
+        svg = profiler_svg(p)
+        assert svg.startswith("<svg")
+        assert "polyline" in svg          # FPS curve present
+        assert svg.count("stroke-opacity") == 2   # 60/30 fps guides
+        assert "Render" in svg            # stage legend
+        assert len(p.frame_history) == 120

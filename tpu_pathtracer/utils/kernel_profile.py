@@ -101,3 +101,92 @@ def format_profile(prof: dict) -> str:
             f"{k:<16} {v * 1e3:>8.3f} {prof['percent'][k]:>6.1f}"
         )
     return "\n".join(lines)
+
+
+# ---------------------------------------------------------------------------
+# In-situ breakdown from a REAL device trace of the fused step
+# ---------------------------------------------------------------------------
+
+# Phase classifier over XLA op names + HLO long names (which carry the
+# jax op_name metadata paths of everything fused into each kernel).
+_PHASE_PATTERNS = (
+    ("intersection", ("custom-call", "tpu_custom_call", "pallas",
+                      "closest", "intersect", "cluster")),
+    ("rng", ("threefry", "random_bits", "random_wrap")),
+    ("grid_sampling", ("sample_grid", "searchsorted", "cdf", "guiding")),
+    ("sort", ("sort",)),
+    ("dma/copy", ("copy", "transpose", "bitcast")),
+)
+
+
+def classify_op(name: str, long_name: str) -> str:
+    text = (name + " " + long_name).lower()
+    for phase, keys in _PHASE_PATTERNS:
+        if any(k in text for k in keys):
+            return phase
+    return "shading/other"
+
+
+def kernel_profile_traced(step_fn, *args, log_dir=None) -> dict:
+    """Phase breakdown measured INSIDE one real fused device program.
+
+    Runs step_fn once under jax.profiler.trace (works through the axon
+    tunnel: the device emits an "XLA Ops" track with per-op durations
+    and HLO long names), then buckets device-op time by phase. This is
+    the TPU equivalent of the reference's clock64()-based in-kernel
+    cycle accounting (integrator.h:286-368, render_config.h:61-77): it
+    sees the true fused schedule, unlike timing phase-isolated programs.
+
+    Returns {"seconds": {phase: s}, "percent": {...}, "ops": count,
+    "device_total": s}.
+    """
+    import glob
+    import gzip
+    import json as _json
+    import tempfile
+
+    jax.block_until_ready(step_fn(*args))   # compile outside the trace
+    td = log_dir or tempfile.mkdtemp(prefix="tpt_trace_")
+    with jax.profiler.trace(td):
+        jax.block_until_ready(step_fn(*args))
+
+    traces = sorted(glob.glob(td + "/**/*.trace.json.gz", recursive=True))
+    if not traces:
+        raise RuntimeError(f"no trace written under {td}")
+    data = _json.loads(gzip.open(traces[-1]).read())
+    events = data.get("traceEvents", [])
+
+    device_pids = set()
+    op_tids = {}
+    for e in events:
+        if e.get("ph") != "M":
+            continue
+        if e.get("name") == "process_name" and "device:" in str(
+            e["args"].get("name", "")
+        ):
+            device_pids.add(e.get("pid"))
+        if e.get("name") == "thread_name" and e["args"].get(
+            "name"
+        ) == "XLA Ops":
+            op_tids.setdefault(e.get("pid"), set()).add(e.get("tid"))
+
+    seconds: dict = {}
+    n_ops = 0
+    for e in events:
+        if e.get("ph") != "X" or e.get("pid") not in device_pids:
+            continue
+        if e.get("tid") not in op_tids.get(e.get("pid"), ()):
+            continue
+        phase = classify_op(
+            str(e.get("name", "")), str(e.get("args", {}).get(
+                "long_name", ""))
+        )
+        seconds[phase] = seconds.get(phase, 0.0) + e.get("dur", 0.0) / 1e6
+        n_ops += 1
+    total = sum(seconds.values()) or 1.0
+    return {
+        "seconds": seconds,
+        "percent": {k: 100.0 * v / total for k, v in seconds.items()},
+        "ops": n_ops,
+        "device_total": total,
+    }

@@ -52,11 +52,14 @@ img{image-rendering:pixelated;border:1px solid #444}</style></head>
 <button onclick="go('/solve')">solve radiosity</button>
 </div>
 <pre id="info"></pre>
+<h4>profiler</h4>
+<img id="prof" src="/profiler.svg">
 <script>
 function go(u){fetch(u).then(r=>r.text()).then(t=>
   document.getElementById('info').textContent=t)}
 setInterval(()=>{document.getElementById('frame').src=
-  '/frame.png?'+Date.now()}, 1500)
+  '/frame.png?'+Date.now();
+  document.getElementById('prof').src='/profiler.svg?'+Date.now()}, 1500)
 </script></body></html>"""
 
 
@@ -72,11 +75,16 @@ class ViewerState:
         self.thread.start()
 
     def _loop(self):
-        """Continuous progressive refinement (renderFrame equivalent)."""
+        """Continuous progressive refinement (renderFrame equivalent),
+        feeding the profiler's 120-frame FPS/stage history."""
         while self.running:
             with self.lock:
-                r = self.app.renderer()
-                r.step()
+                prof = self.app.profiler
+                prof.begin_frame()
+                with prof.stage("Render"):
+                    r = self.app.renderer()
+                    r.step()
+                prof.end_frame()
 
     def frame_png(self) -> bytes:
         from ..utils.png import png_bytes
@@ -166,6 +174,11 @@ def make_handler(state: ViewerState):
                     self._send(png_bytes(img), "image/png")
                 elif url.path == "/profiler":
                     self._send(app.profiler.summary())
+                elif url.path == "/profiler.svg":
+                    from .profgraph import profiler_svg
+
+                    self._send(profiler_svg(app.profiler),
+                               "image/svg+xml")
                 elif url.path == "/orbit":
                     with state.lock:
                         app.orbit(
