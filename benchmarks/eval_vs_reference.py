@@ -43,14 +43,21 @@ OUT_DIR = os.path.join(HERE, "..", "outputs", "ref_compare")
 W, H = 1085, 1026  # reference framebuffer size (its saved PNGs)
 # The reference's renderFrame() calls updateCameraOrbit() every frame
 # (application.h:162), which REPLACES the configured camera_origin with
-# an orbit position at yaw=90, pitch=0 on the sphere of radius
-# |camera_origin - look_at| around look_at (sensor.h:57-68). The
-# effective view of every saved PNG is therefore:
-_R = float(np.linalg.norm(np.array([0.5, 3.0, 8.5]) -
-                          np.array([0.0, 2.5, 0.0])))  # 8.5294
-CAM_ORIGIN = (0.0, 2.5, _R)
+# a (yaw, pitch, radius) orbit around look_at (sensor.h:57-68) — and its
+# published PNGs were captured from a hand-orbited view, not the yaw=90
+# pitch=0 default. We recover that view by least-squares fitting
+# (yaw, pitch, R, fov) to the projected pixel bounding boxes of two
+# known scene features (the light quad and the room's front opening) in
+# cbox_sub2_step5.png; the fit is sub-pixel (see _fit_cam derivation:
+# yaw 87.8deg, pitch -3.8deg, R 8.36, fov 40.5 -> max bbox error <1.2px).
+_YAW, _PITCH, _R, CAM_FOV = 87.8, -3.8, 8.36, 40.5
+_yr, _pr = np.radians(_YAW), np.radians(_PITCH)
+CAM_ORIGIN = tuple(
+    np.array([0.0, 2.5, 0.0])
+    + _R * np.array([np.cos(_pr) * np.cos(_yr), np.sin(_pr),
+                     np.cos(_pr) * np.sin(_yr)])
+)
 CAM_LOOKAT = (0.0, 2.5, 0.0)
-CAM_FOV = 40.0
 
 
 def load_ref_png(name: str) -> np.ndarray:
@@ -156,7 +163,7 @@ def render_radiosity_view(geom, radiosity, spp: int) -> np.ndarray:
     return np.asarray(img)[::-1]  # row 0 = top, like the reference PNG
 
 
-def run_radiosity(subs, steps, spp):
+def run_radiosity(subs, steps, spp, yardstick=False):
     import jax
 
     from tpu_pathtracer.render.radiosity import solve_radiosity
@@ -168,6 +175,17 @@ def run_radiosity(subs, steps, spp):
             geom, jax.random.key(12345), num_iterations=n_iter,
             use_monte_carlo=True, mc_samples=64,
         )
+        sol_b = None
+        if yardstick:
+            # a second solve with an independent MC sample stream: the
+            # RMSE between our own two renders is the expected residual
+            # from form-factor MC variance alone — if ours-vs-reference
+            # matches it, the estimators agree and the difference is
+            # noise, not bias.
+            sol_b = solve_radiosity(
+                geom, jax.random.key(99991), num_iterations=n_iter,
+                use_monte_carlo=True, mc_samples=64,
+            )
         for step in steps:
             if step == n_iter:
                 rad = sol.radiosity
@@ -180,6 +198,15 @@ def run_radiosity(subs, steps, spp):
             ref = load_ref_png(name)
             save_png(name, ours)
             save_result(f"radiosity/{name}", compare(ours, ref))
+            if sol_b is not None and step == n_iter:
+                rad_b = sol_b.radiosity
+                ours_b = render_radiosity_view(geom, rad_b, spp)
+                save_result(
+                    f"radiosity/cbox_sub{sub}_selfnoise",
+                    {**compare(ours, ours_b),
+                     "note": "our render vs our render, independent "
+                             "MC FF streams — expected noise floor"},
+                )
 
 
 def run_pt(spp: int, ref_spp: int, depth: int):
@@ -222,11 +249,14 @@ def main():
     p.add_argument("--spp", type=int, default=0)
     p.add_argument("--ref-spp", type=int, default=23)
     p.add_argument("--depth", type=int, default=5)
+    p.add_argument("--yardstick", action="store_true")
     args = p.parse_args()
     if args.which == "radiosity":
-        run_radiosity(subs=(0, 1, 2, 3), steps=(5,), spp=args.spp or 16)
+        run_radiosity(subs=(0, 1, 2, 3), steps=(5,), spp=args.spp or 16,
+                      yardstick=args.yardstick)
     elif args.which == "radiosity4":
-        run_radiosity(subs=(4,), steps=tuple(range(11)), spp=args.spp or 16)
+        run_radiosity(subs=(4,), steps=tuple(range(11)),
+                      spp=args.spp or 16, yardstick=args.yardstick)
     else:
         run_pt(args.spp or 1024, args.ref_spp, args.depth)
 

@@ -236,3 +236,112 @@ def mc_form_factors_sharded(
         )
     )(row_ids, key)
     return ff[:n], gc[:n], gv[:n]
+
+
+def solve_radiosity_sharded(
+    geom: Geometry,
+    key: jax.Array | None = None,
+    *,
+    mesh: Mesh | None = None,
+    num_iterations: int = 10,
+    mc_samples: int = 64,
+    row_chunk: int = 16,
+    occlusion_packs=None,
+    filter_fn=None,
+):
+    """Row-sharded radiosity solve (runSolver semantics,
+    application_state.h:688-777, scaled out the TPU way).
+
+    The (N, N) form-factor matrix never exists on a single device: each
+    device builds and keeps its receiver rows (mc_form_factors_sharded),
+    and every iteration is ONE shard_map dispatch that (a) gathers +
+    reflects its rows locally — the matvec streams over row bands, (b)
+    all-gathers the new radiosity vector (tiny: N x 3) over the mesh,
+    and (c) rebins its rows' directional grids in place. Per-device FF
+    memory is N^2/devices, so the O(N^2) wall moves out by the mesh
+    size.
+
+    Returns the same RadiositySolution as solve_radiosity; radiosity /
+    history are replicated, grid fields are row-sharded jax arrays with
+    global shape (N, ...).
+    """
+    from ..core import rng as rng_mod
+    from ..render.radiosity import (
+        RADIOSITY_HISTORY,
+        RadiositySolution,
+        rebin_rows,
+    )
+
+    if key is None:
+        key = rng_mod.base_key(12345)
+    if mesh is None:
+        mesh = make_mesh()
+    n_dev = int(mesh.devices.size)
+    n = geom.num_prims
+
+    ff, grid_counts, rad_grid = mc_form_factors_sharded(
+        geom, key, mesh=mesh, n_samples=mc_samples, row_chunk=row_chunk,
+        occlusion_packs=occlusion_packs,
+    )
+
+    band = (n + n_dev - 1) // n_dev
+    npad = band * n_dev
+    ff_pad = jnp.pad(ff, ((0, npad - n), (0, 0)))
+    row_ids = jnp.arange(npad, dtype=jnp.int32)
+    sh_rows = NamedSharding(mesh, P("tile"))
+    ff_pad = jax.device_put(ff_pad, NamedSharding(mesh, P("tile", None)))
+    row_ids = jax.device_put(row_ids, sh_rows)
+
+    def body(ff_rows, rows, radiosity, unshot):
+        # gather + reflect for this device's receiver rows
+        incident = jnp.dot(
+            ff_rows, unshot, precision=jax.lax.Precision.HIGHEST
+        )
+        albedo_rows = geom.albedo[rows]
+        reflected = jnp.minimum(albedo_rows * incident, incident)
+        reflected = jnp.where((rows < n)[:, None], reflected, 0.0)
+        # replicate the new global radiosity/unshot vectors (N x 3 —
+        # the only cross-device traffic per iteration)
+        refl_full = jax.lax.all_gather(
+            reflected, "tile", axis=0, tiled=True
+        )[:n]
+        new_rad = radiosity + refl_full
+        rad_grid_rows = rebin_rows(geom, ff_rows, rows, new_rad)
+        if filter_fn is not None:
+            rad_grid_rows = filter_fn(rad_grid_rows)
+        return new_rad, refl_full, rad_grid_rows
+
+    step = jax.jit(
+        shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(P("tile", None), P("tile"), P(), P()),
+            out_specs=(P(), P(), P("tile")),
+            check_vma=False,
+        )
+    )
+
+    radiosity = geom.emission
+    unshot = geom.emission
+    history = jnp.zeros((RADIOSITY_HISTORY, n, 3), jnp.float32)
+    h_idx = 0
+    h_cnt = 0
+    for _ in range(num_iterations):
+        history = history.at[h_idx].set(radiosity)
+        h_idx = (h_idx + 1) % RADIOSITY_HISTORY
+        h_cnt = min(h_cnt + 1, RADIOSITY_HISTORY)
+        radiosity, unshot, rad_grid_pad = step(
+            ff_pad, row_ids, radiosity, unshot
+        )
+        rad_grid = rad_grid_pad[:n]
+
+    return RadiositySolution(
+        form_factors=ff,
+        radiosity=radiosity,
+        unshot=unshot,
+        grid_counts=grid_counts,
+        rad_grid=rad_grid,
+        history=history,
+        history_index=jnp.int32(h_idx),
+        history_count=jnp.int32(h_cnt),
+    )

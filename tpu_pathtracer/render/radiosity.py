@@ -401,33 +401,42 @@ def radiosity_step(geom: Geometry, ff, radiosity, unshot):
     return radiosity + reflected, reflected
 
 
+def rebin_rows(geom: Geometry, ff_rows, rows, radiosity):
+    """Directional-grid rebin for receiver rows `rows` given their FF
+    rows (update_radiosity_grid, form_factors.h:408-442): cell by the
+    centroid-to-centroid direction, contribution B_j * F_ij. Shared by
+    the single-chip row sweep and the row-sharded multi-chip solver."""
+    n = geom.num_prims
+    ci = geom.centroid[rows][:, None, :]
+    cj = geom.centroid[None, :, :]
+    d = cj - ci
+    dist = jnp.linalg.norm(d, axis=-1)
+    dn = d / jnp.maximum(dist, 1e-20)[..., None]
+    ni = geom.normal[rows][:, None, :]
+    same = rows[:, None] == jnp.arange(n)[None, :]
+    w = jnp.where(
+        same | (ff_rows <= 0.0) | (dist < 1e-6), 0.0, ff_rows
+    )
+    cell = direction_to_cell(dn, ni)
+    onehot = jax.nn.one_hot(cell, GRID_SIZE)
+    contrib = radiosity[None, :, :] * w[..., None]
+    return jnp.einsum("rnc,rnd->rcd", onehot, contrib)
+
+
 @partial(jax.jit, static_argnames=("row_chunk",))
 def rebin_radiosity_grid(geom: Geometry, ff, radiosity, row_chunk: int = 64):
     """Rebuild the (N, 256, 3) directional radiosity grids from the current
-    solution (update_radiosity_grid, form_factors.h:408-442): cell by the
-    centroid-to-centroid direction, contribution B_j * F_ij."""
+    solution, streamed over receiver-row blocks so the (rows, N) geometry
+    intermediates stay bounded at any N."""
     n = geom.num_prims
     rc = min(row_chunk, n)
     npad = ((n + rc - 1) // rc) * rc
     row_ids = jnp.where(jnp.arange(npad) < n, jnp.arange(npad), 0)
 
-    def do_rows(rows):
-        ci = geom.centroid[rows][:, None, :]
-        cj = geom.centroid[None, :, :]
-        d = cj - ci
-        dist = jnp.linalg.norm(d, axis=-1)
-        dn = d / jnp.maximum(dist, 1e-20)[..., None]
-        ni = geom.normal[rows][:, None, :]
-        same = rows[:, None] == jnp.arange(n)[None, :]
-        w = jnp.where(
-            same | (ff[rows] <= 0.0) | (dist < 1e-6), 0.0, ff[rows]
-        )
-        cell = direction_to_cell(dn, ni)
-        onehot = jax.nn.one_hot(cell, GRID_SIZE)
-        contrib = radiosity[None, :, :] * w[..., None]
-        return jnp.einsum("rnc,rnd->rcd", onehot, contrib)
-
-    out = jax.lax.map(do_rows, row_ids.reshape(-1, rc))
+    out = jax.lax.map(
+        lambda rows: rebin_rows(geom, ff[rows], rows, radiosity),
+        row_ids.reshape(-1, rc),
+    )
     return out.reshape(npad, GRID_SIZE, 3)[:n]
 
 
@@ -498,6 +507,20 @@ def solve_radiosity(
 
     radiosity = geom.emission
     unshot = geom.emission
+
+    # One fused dispatch per iteration (gather + reflect + rebin +
+    # optional grid filter), streamed over receiver-row blocks — the
+    # Python-driven 3-dispatch loop cost ~25 ms of device sync each
+    # through the axon tunnel.
+    @partial(jax.jit, static_argnames=("rc",))
+    def iterate(geom, ff, radiosity, unshot, rc):
+        radiosity, unshot = radiosity_step(geom, ff, radiosity, unshot)
+        rad_grid = rebin_radiosity_grid(geom, ff, radiosity,
+                                        row_chunk=rc)
+        if filter_fn is not None:
+            rad_grid = filter_fn(rad_grid)
+        return radiosity, unshot, rad_grid
+
     history = jnp.zeros(
         (RADIOSITY_HISTORY, geom.num_prims, 3), jnp.float32
     )
@@ -508,10 +531,9 @@ def solve_radiosity(
         h_idx = (h_idx + 1) % RADIOSITY_HISTORY
         h_cnt = min(h_cnt + 1, RADIOSITY_HISTORY)
 
-        radiosity, unshot = radiosity_step(geom, ff, radiosity, unshot)
-        rad_grid = rebin_radiosity_grid(geom, ff, radiosity)
-        if filter_fn is not None:
-            rad_grid = filter_fn(rad_grid)
+        radiosity, unshot, rad_grid = iterate(
+            geom, ff, radiosity, unshot, min(row_chunk * 4, 64)
+        )
 
     return RadiositySolution(
         form_factors=ff,
