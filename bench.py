@@ -62,12 +62,12 @@ def main():
     mrays = _bench_renderer(ProgressiveRenderer(geom, cam, settings, **packs))
 
     # VPU utilization of the headline run: the wavefront loop tests every
-    # ray against all 40 canonical triangles (brute in-kernel), ~24 flops
-    # per ray-tri test (12 FMA/mul + min/selects in the t/u/v evaluation).
-    # v5e VPU peak: 8 sublanes x 128 lanes x 4 MACs x 2 flops x 0.94 GHz
-    # ~= 7.7 Tflop/s. Derivation in docs/RESULTS.md.
-    tri_tests = geom.num_tris * 24.0
-    flops_per_ray = tri_tests
+    # ray against all scene triangles in-kernel; the affine t/u/v test is
+    # ~40 VPU flops per ray-tri pair (os/ds dots 7, t 2, u/v 16, validity
+    # compares+selects ~10, min/id reduce ~5). v5e VPU peak ~= 8 sublanes
+    # x 128 lanes x 4 ALUs x 2 flops x 0.94 GHz = 7.7 Tflop/s.
+    # Full derivation + HBM roofline in docs/RESULTS.md ("Roofline").
+    flops_per_ray = geom.num_tris * 40.0
     extra["flops_util_headline"] = round(
         mrays * 1e6 * flops_per_ray / 7.7e12, 4
     )

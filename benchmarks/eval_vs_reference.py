@@ -166,14 +166,21 @@ def render_radiosity_view(geom, radiosity, spp: int) -> np.ndarray:
 def run_radiosity(subs, steps, spp, yardstick=False):
     import jax
 
+    from tpu_pathtracer.ops.intersect_pallas import (
+        pack_prim_ids,
+        pack_triangles,
+    )
     from tpu_pathtracer.render.radiosity import solve_radiosity
 
     for sub in subs:
         geom = build_geom(sub)
+        # Pallas any-hit for FF visibility (like App.run_solver): the
+        # XLA brute fallback is ~10x slower at sub-4 scale.
+        packs = (pack_triangles(geom), pack_prim_ids(geom))
         n_iter = max(steps)
         sol = solve_radiosity(
             geom, jax.random.key(12345), num_iterations=n_iter,
-            use_monte_carlo=True, mc_samples=64,
+            use_monte_carlo=True, mc_samples=64, occlusion_packs=packs,
         )
         sol_b = None
         if yardstick:
@@ -185,6 +192,7 @@ def run_radiosity(subs, steps, spp, yardstick=False):
             sol_b = solve_radiosity(
                 geom, jax.random.key(99991), num_iterations=n_iter,
                 use_monte_carlo=True, mc_samples=64,
+                occlusion_packs=packs,
             )
         for step in steps:
             if step == n_iter:

@@ -122,11 +122,16 @@ def _rank_cdf(cdf, xi):
     return jnp.minimum(idx, cdf.shape[-1] - 1)
 
 
-def _pdf_for_cell(pdf_cells, total_weight, theta_idx, phi_idx):
+def _pdf_for_cell(cdfs, prim, total_weight, theta_idx, phi_idx):
     """computePDFForCell (grid.h:258-273): cell probability over the cell's
-    solid angle, with the reference's floors."""
+    solid angle, with the reference's floors.
+
+    The cell value is fetched with ONE flat-index per-lane gather
+    (prim * 256 + cell) instead of gathering each lane's whole (256,)
+    pdf row and selecting — per-lane gather cost scales with elements
+    fetched, and this is in the guided-mode hot loop."""
     idx = theta_idx * GRID_RES + phi_idx
-    cell = jnp.take_along_axis(pdf_cells, idx[..., None], axis=-1)[..., 0]
+    cell = cdfs.pdf.reshape(-1)[prim * GRID_SIZE + idx]
     prob = cell / jnp.maximum(total_weight, 1e-6)
     theta_c = (theta_idx.astype(jnp.float32) + 0.5) * GRID_INV_HALF_RES * (
         PI * 0.5
@@ -151,10 +156,10 @@ def sample_grid(cdfs: CDFPack, prim, normal, xi1, xi2, jt, jp):
     """
     marg = cdfs.marginal_cdf[prim]                        # (B, 8)
     theta_idx = _rank_cdf(marg, xi1)
-    rows = cdfs.row_cdfs[prim].reshape(-1, GRID_RES, GRID_RES)
-    row = jnp.take_along_axis(
-        rows, theta_idx[:, None, None], axis=1
-    )[:, 0, :]                                            # (B, 16)
+    # fetch only the WINNING theta row's (16,) CDF, via a flat combined
+    # index — not the lane's whole (128,) row_cdfs block
+    rows_flat = cdfs.row_cdfs.reshape(-1, GRID_RES)
+    row = rows_flat[prim * GRID_RES + theta_idx]          # (B, 16)
     phi_idx = _rank_cdf(row, xi2)
 
     theta = (theta_idx.astype(jnp.float32) + jt) * GRID_INV_HALF_RES * (
@@ -164,7 +169,7 @@ def sample_grid(cdfs: CDFPack, prim, normal, xi1, xi2, jt, jp):
     phi = (phi_idx.astype(jnp.float32) + jp) * GRID_INV_RES * TWO_PI
 
     d = from_local(spherical_to_local(theta, phi), normal)
-    pdf = _pdf_for_cell(cdfs.pdf[prim], cdfs.total_weight[prim],
+    pdf = _pdf_for_cell(cdfs, prim, cdfs.total_weight[prim],
                         theta_idx, phi_idx)
     return d, pdf
 
@@ -177,6 +182,6 @@ def grid_pdf(cdfs: CDFPack, prim, direction, normal):
     phi_idx = (phi * (0.5 / PI) * GRID_RES).astype(jnp.int32)
     theta_idx = jnp.clip(theta_idx, 0, GRID_HALF_RES - 1)
     phi_idx = jnp.clip(phi_idx, 0, GRID_RES - 1)
-    pdf = _pdf_for_cell(cdfs.pdf[prim], cdfs.total_weight[prim],
+    pdf = _pdf_for_cell(cdfs, prim, cdfs.total_weight[prim],
                         theta_idx, phi_idx)
     return jnp.where(theta > PI * 0.5, 0.0, pdf)

@@ -585,18 +585,32 @@ class CulledScene:
     def __init__(self, geom: Geometry = None, _leaves=None):
         if _leaves is not None:
             (self.tri_pack, self.cluster_min, self.cluster_max,
-             self.order_dev) = _leaves
+             self.attr_table) = _leaves
             return
         self.order = morton_order(geom)
         self.tri_pack, self.cluster_min, self.cluster_max = (
             pack_triangles_ordered(geom, self.order)
         )
-        self.order_dev = jnp.asarray(self.order)
+        # One packed shading row per REORDERED triangle:
+        # [nx ny nz | ar ag ab | er eg eb | material | prim | pad].
+        # closest_hit then needs a single (B,) -> (B, 16) gather instead
+        # of six chained per-lane gathers (order -> tri_prim -> 4 attr
+        # tables), which measured 5.6 ms/bounce on the 101k-tri scene.
+        prim = np.asarray(geom.tri_prim)[self.order]
+        tpad = self.tri_pack.shape[1]
+        at = np.zeros((tpad, ATTR_COLS), np.float32)
+        t = prim.shape[0]
+        at[:t, 0:3] = np.asarray(geom.normal)[prim]
+        at[:t, 3:6] = np.asarray(geom.albedo)[prim]
+        at[:t, 6:9] = np.asarray(geom.emission)[prim]
+        at[:t, 9] = np.asarray(geom.material)[prim]
+        at[:t, 10] = prim
+        self.attr_table = jnp.asarray(at)
 
     def tree_flatten(self):
         return (
             (self.tri_pack, self.cluster_min, self.cluster_max,
-             self.order_dev),
+             self.attr_table),
             None,
         )
 
@@ -611,19 +625,18 @@ class CulledScene:
         t, ridx = pallas_closest_tuv_dma(
             self.tri_pack, self.cluster_min, self.cluster_max, o, d, t_min
         )
-        tri_idx = self.order_dev[ridx]   # back to original triangle ids
         valid = jnp.isfinite(t) & (t < t_max)
-        prim = jnp.where(valid, geom.tri_prim[tri_idx], 0)
+        row = self.attr_table[jnp.where(valid, ridx, 0)]  # one gather
         p = o + jnp.where(valid, t, 0.0)[:, None] * d
         return Hit(
             valid=valid,
             t=jnp.where(valid, t, jnp.inf),
-            prim=prim,
+            prim=jnp.where(valid, row[:, 10].astype(jnp.int32), 0),
             p=p,
-            n=geom.normal[prim],
-            albedo=geom.albedo[prim],
-            emission=jnp.where(valid[:, None], geom.emission[prim], 0.0),
-            material=geom.material[prim],
+            n=row[:, 0:3],
+            albedo=row[:, 3:6],
+            emission=jnp.where(valid[:, None], row[:, 6:9], 0.0),
+            material=row[:, 9].astype(jnp.int32),
         )
 
 
