@@ -175,3 +175,57 @@ class TestCulled:
         tiles = (np.arange(n) // ip.RAYS_PER_TILE)[m]
         flat = np.asarray(mask).reshape(mask.shape[0], -1)
         assert all(flat[t, c] > 0 for t, c in zip(tiles, clusters))
+
+
+class TestTileSwizzle:
+    """The lane->pixel tile swizzle used for the culled backend
+    (renderer._tile_swizzle): 128-lane kernel rows must cover compact
+    16x8 pixel blocks and the film must be bitwise invariant to the
+    relabeling (pixel-keyed RNG)."""
+
+    def test_permutation_structure(self):
+        from tpu_pathtracer.render.renderer import _tile_swizzle
+
+        perm, inv = _tile_swizzle(64, 64, 4096)
+        assert np.array_equal(np.sort(perm), np.arange(4096))
+        assert np.array_equal(inv[perm], np.arange(4096))
+        # each 128-lane row is a 16x8 pixel block
+        for start in (0, 128, 1024, 4096 - 128):
+            xs = perm[start:start + 128] % 64
+            ys = perm[start:start + 128] // 64
+            assert xs.max() - xs.min() == 15
+            assert ys.max() - ys.min() == 7
+        # each 1024-lane kernel tile is a 32x32 pixel tile
+        xs, ys = perm[:1024] % 64, perm[:1024] // 64
+        assert xs.max() - xs.min() == 31 and ys.max() - ys.min() == 31
+
+    def test_non_tileable_images_fall_back(self):
+        from tpu_pathtracer.render.renderer import _tile_swizzle
+
+        assert _tile_swizzle(100, 100, 10000) is None
+        assert _tile_swizzle(64, 64, 4095) is None
+
+    def test_render_bitwise_invariant_to_swizzle(self, monkeypatch):
+        import tpu_pathtracer.render.renderer as rr
+
+        geom = cornell_box("quads").build()
+        cam = CameraController.default().build()
+        s = rr.RenderSettings(
+            width=64, height=64, max_depth=2, spp_per_pass=1,
+            ray_chunk=4096, wavefront=True,
+        )
+        cs = ip.CulledScene(geom)
+
+        def render():
+            r = rr.ProgressiveRenderer(geom, cam, s, culled=cs)
+            r.step()
+            return np.asarray(r.film.accum)
+
+        a = render()
+        assert np.isfinite(a).all() and a.max() > 0
+        # disable the swizzle and clear the jit cache (the permutation
+        # is baked into the traced render_pass as a constant)
+        monkeypatch.setattr(rr, "_tile_swizzle", lambda *a_: None)
+        jax.clear_caches()
+        b = render()
+        np.testing.assert_array_equal(a, b)

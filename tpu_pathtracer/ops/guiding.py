@@ -53,6 +53,12 @@ class CDFPack:
     row_cdfs: jax.Array      # (N, 256) conditional phi CDFs (all 16 rows)
     total_weight: jax.Array  # (N,)
     valid: jax.Array         # (N,) bool
+    # [marginal(8) | total(1) | valid(1) | pad] — everything the sampler
+    # needs per primitive before the theta row is chosen, as ONE row so
+    # the hot loop does a single (B,)->(B,16) gather instead of three
+    # chained per-lane gathers (XLA per-lane gathers cost ~50x their
+    # traffic; this is the guided-mode bottleneck, not the math).
+    prim_table: jax.Array    # (N, 16)
 
 
 def build_cdfs(pdf: jax.Array) -> CDFPack:
@@ -88,13 +94,24 @@ def build_cdfs(pdf: jax.Array) -> CDFPack:
     )
     row_cdfs = jnp.concatenate([cond, lower], axis=1).reshape(n, GRID_SIZE)
 
+    valid = total > 1e-6
+    prim_table = jnp.concatenate(
+        [
+            marginal,
+            total[:, None],
+            valid[:, None].astype(jnp.float32),
+            jnp.zeros((n, 6), jnp.float32),
+        ],
+        axis=1,
+    )
     return CDFPack(
         pdf=pdf,
         row_sums=row_sums,
         marginal_cdf=marginal,
         row_cdfs=row_cdfs,
         total_weight=total,
-        valid=total > 1e-6,
+        valid=valid,
+        prim_table=prim_table,
     )
 
 
@@ -122,16 +139,10 @@ def _rank_cdf(cdf, xi):
     return jnp.minimum(idx, cdf.shape[-1] - 1)
 
 
-def _pdf_for_cell(cdfs, prim, total_weight, theta_idx, phi_idx):
-    """computePDFForCell (grid.h:258-273): cell probability over the cell's
-    solid angle, with the reference's floors.
-
-    The cell value is fetched with ONE flat-index per-lane gather
-    (prim * 256 + cell) instead of gathering each lane's whole (256,)
-    pdf row and selecting — per-lane gather cost scales with elements
-    fetched, and this is in the guided-mode hot loop."""
-    idx = theta_idx * GRID_RES + phi_idx
-    cell = cdfs.pdf.reshape(-1)[prim * GRID_SIZE + idx]
+def _cell_pdf_math(cell, total_weight, theta_idx):
+    """computePDFForCell's arithmetic (grid.h:258-273) given an already-
+    fetched cell value: probability over the cell's solid angle with the
+    reference's floors. Pure math — no gathers."""
     prob = cell / jnp.maximum(total_weight, 1e-6)
     theta_c = (theta_idx.astype(jnp.float32) + 0.5) * GRID_INV_HALF_RES * (
         PI * 0.5
@@ -142,11 +153,26 @@ def _pdf_for_cell(cdfs, prim, total_weight, theta_idx, phi_idx):
     return jnp.where(cell < 1e-8, 1e-6, val)
 
 
-def sample_grid(cdfs: CDFPack, prim, normal, xi1, xi2, jt, jp):
+def _pdf_for_cell(cdfs, prim, total_weight, theta_idx, phi_idx):
+    """computePDFForCell (grid.h:258-273).
+
+    The cell value is fetched with ONE flat-index per-lane gather
+    (prim * 256 + cell) instead of gathering each lane's whole (256,)
+    pdf row and selecting — per-lane gather cost scales with elements
+    fetched, and this is in the guided-mode hot loop."""
+    idx = theta_idx * GRID_RES + phi_idx
+    cell = cdfs.pdf.reshape(-1)[prim * GRID_SIZE + idx]
+    return _cell_pdf_math(cell, total_weight, theta_idx)
+
+
+def sample_grid(cdfs: CDFPack, prim, normal, xi1, xi2, jt, jp,
+                row16=None):
     """Sample a direction from each ray's hit-primitive grid.
 
     Port of Grid::sample (grid.h:141-188). Args are per-ray batches:
     prim (B,) int32, normal (B,3) shading normals, xi/j* (B,) uniforms.
+    Passing a prefetched `row16 = cdfs.prim_table[prim]` saves two
+    per-lane gathers in the hot loop.
 
     Returns:
         (dir, pdf): world-space unit directions and grid PDFs. Lanes whose
@@ -154,7 +180,12 @@ def sample_grid(cdfs: CDFPack, prim, normal, xi1, xi2, jt, jp):
         cdfs.valid[prim] (the integrator falls back to cosine sampling
         there, mirroring grid.h:142-144).
     """
-    marg = cdfs.marginal_cdf[prim]                        # (B, 8)
+    if row16 is None:
+        marg = cdfs.marginal_cdf[prim]                    # (B, 8)
+        total = cdfs.total_weight[prim]
+    else:
+        marg = row16[:, :GRID_HALF_RES]
+        total = row16[:, GRID_HALF_RES]
     theta_idx = _rank_cdf(marg, xi1)
     # fetch only the WINNING theta row's (16,) CDF, via a flat combined
     # index — not the lane's whole (128,) row_cdfs block
@@ -169,8 +200,7 @@ def sample_grid(cdfs: CDFPack, prim, normal, xi1, xi2, jt, jp):
     phi = (phi_idx.astype(jnp.float32) + jp) * GRID_INV_RES * TWO_PI
 
     d = from_local(spherical_to_local(theta, phi), normal)
-    pdf = _pdf_for_cell(cdfs, prim, cdfs.total_weight[prim],
-                        theta_idx, phi_idx)
+    pdf = _pdf_for_cell(cdfs, prim, total, theta_idx, phi_idx)
     return d, pdf
 
 
@@ -185,3 +215,63 @@ def grid_pdf(cdfs: CDFPack, prim, direction, normal):
     pdf = _pdf_for_cell(cdfs, prim, cdfs.total_weight[prim],
                         theta_idx, phi_idx)
     return jnp.where(theta > PI * 0.5, 0.0, pdf)
+
+
+def sample_grid_mis(cdfs: CDFPack, prim, normal, xi1, xi2, jt, jp, d_b):
+    """Grid sample + this grid's PDF of a second (BSDF-sampled) world
+    direction `d_b` — the two distribution queries one-sample MIS needs
+    (integrator.h:112-166) — with gathers coalesced for the hot loop:
+
+      1. one (B,)->(B,16) `prim_table` row (marginal CDF, total, valid),
+      2. one (B,)->(B,16) winning theta-row conditional CDF,
+      3. one (2,B) flat gather for BOTH pdf cells (sampled cell + d_b's
+         cell).
+
+    vs the 7 chained per-lane gathers of the naive composition
+    (sample_grid + grid_pdf + valid): per-lane gathers run at ~50x their
+    byte cost on TPU, and this path was measured 9x slower than BSDF
+    sampling before coalescing. Bitwise-identical values to
+    sample_grid/grid_pdf.
+
+    Returns (d_g, pdf_gg, pdf_bg, g_valid).
+    """
+    row16 = cdfs.prim_table[prim]                         # (B, 16)
+    marg = row16[:, :GRID_HALF_RES]
+    total = row16[:, GRID_HALF_RES]
+    g_valid = row16[:, GRID_HALF_RES + 1] > 0.0
+
+    theta_idx = _rank_cdf(marg, xi1)
+    rows_flat = cdfs.row_cdfs.reshape(-1, GRID_RES)
+    row = rows_flat[prim * GRID_RES + theta_idx]          # (B, 16)
+    phi_idx = _rank_cdf(row, xi2)
+
+    theta = (theta_idx.astype(jnp.float32) + jt) * GRID_INV_HALF_RES * (
+        PI * 0.5
+    )
+    theta = jnp.minimum(theta, PI * 0.5 - 0.01)
+    phi = (phi_idx.astype(jnp.float32) + jp) * GRID_INV_RES * TWO_PI
+    d_g = from_local(spherical_to_local(theta, phi), normal)
+
+    # d_b's cell under this grid (grid.h:200-216)
+    tb, pb = world_to_spherical(d_b, normal)
+    tb_idx = jnp.clip(
+        (tb * (2.0 / PI) * GRID_HALF_RES).astype(jnp.int32),
+        0, GRID_HALF_RES - 1,
+    )
+    pb_idx = jnp.clip(
+        (pb * (0.5 / PI) * GRID_RES).astype(jnp.int32), 0, GRID_RES - 1
+    )
+
+    base = prim * GRID_SIZE
+    cells = jnp.stack(
+        [
+            base + theta_idx * GRID_RES + phi_idx,
+            base + tb_idx * GRID_RES + pb_idx,
+        ]
+    )                                                     # (2, B)
+    vals = cdfs.pdf.reshape(-1)[cells]
+    pdf_gg = _cell_pdf_math(vals[0], total, theta_idx)
+    pdf_bg = jnp.where(
+        tb > PI * 0.5, 0.0, _cell_pdf_math(vals[1], total, tb_idx)
+    )
+    return d_g, pdf_gg, pdf_bg, g_valid

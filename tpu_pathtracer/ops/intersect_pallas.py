@@ -774,7 +774,8 @@ _BUCKETS = 1 << (30 - _BUCKET_SHIFT)
 _MAX_CLUSTERS = 1 << _ID_BITS
 
 
-def _kernel_prepass(cb_ref, ox, oy, oz, ix, iy, iz, tmin_ref, out_ref):
+def _kernel_prepass(cb_ref, ox, oy, oz, ix, iy, iz, scal_ref, out_ref,
+                    texit_ref):
     """Per-tile cluster visibility pre-pass at register speed.
 
     One grid step = (1024-ray tile i) x (128-cluster block j): clusters
@@ -791,14 +792,32 @@ def _kernel_prepass(cb_ref, ox, oy, oz, ix, iy, iz, tmin_ref, out_ref):
     keeps every write in the native (cluster-sublane) layout — writing
     a (ROWS, cpad) output instead would need a (128, 8) -> (8, 128)
     transpose per step.
+
+    The second output is each ray's TIGHT interest bound: the max slab
+    exit distance over the clusters it actually touches (accumulated
+    across cluster blocks j). Any triangle hit lies inside some touched
+    cluster at t <= its tfar, so no hit can exist beyond this bound; a
+    ray that touches nothing gets t_min and stops holding its lane-row
+    open immediately. This is what makes the front-to-back early-out
+    fire: the old union-scene-AABB exit left visited == scheduled on
+    the 101k-tri scene (miss rays kept every row open to the end).
     """
-    t_min = tmin_ref[0]
+    t_min = scal_ref[0]
+    n_real = scal_ref[1]
+    j = pl.program_id(1)
     blk = jnp.transpose(cb_ref[...])          # (128 clusters, 8)
+    # padded clusters carry all-inf AABBs that still pass the slab test
+    # for rays positive on every axis — mask them out of the exit bound
+    cvalid = (
+        jax.lax.broadcasted_iota(jnp.int32, (TRI_CHUNK, 1), 0)
+        + j * TRI_CHUNK
+    ).astype(jnp.float32) < n_real            # (128, 1)
 
     def col(k):
         return blk[:, k][:, None]             # (128, 1)
 
     hits8 = []
+    exits8 = []
     tn_min = jnp.full((TRI_CHUNK, 1), jnp.inf, jnp.float32)
     for r in range(DMA_ROWS):
         ro = (ox[r:r+1, :], oy[r:r+1, :], oz[r:r+1, :])
@@ -814,6 +833,12 @@ def _kernel_prepass(cb_ref, ox, oy, oz, ix, iy, iz, tmin_ref, out_ref):
         hits8.append(
             jnp.max(hit.astype(jnp.float32), axis=1, keepdims=True)
         )                                     # (128, 1) row-any
+        exits8.append(
+            jnp.max(
+                jnp.where(hit & cvalid, tf, -jnp.inf),
+                axis=0, keepdims=True,
+            )
+        )                                     # (1, 128) per-ray
         tn_min = jnp.minimum(
             tn_min,
             jnp.min(jnp.where(hit, tn, jnp.inf), axis=1, keepdims=True),
@@ -821,6 +846,15 @@ def _kernel_prepass(cb_ref, ox, oy, oz, ix, iy, iz, tmin_ref, out_ref):
     out_ref[0] = jnp.concatenate(
         hits8 + [jnp.broadcast_to(tn_min, (TRI_CHUNK, DMA_ROWS))], axis=1
     )                                         # (128, 16)
+    ex = jnp.concatenate(exits8, axis=0)      # (8, 128)
+
+    @pl.when(j == 0)
+    def _():
+        texit_ref[0] = jnp.maximum(ex, t_min)
+
+    @pl.when(j > 0)
+    def _():
+        texit_ref[0] = jnp.maximum(texit_ref[0], ex)
 
 
 def _cluster_list(cluster_min, cluster_max, o, d, t_min):
@@ -836,10 +870,11 @@ def _cluster_list(cluster_min, cluster_max, o, d, t_min):
         (verified exactly below), ascending along the sorted schedule —
         once every ray of a row holds a hit closer than the bound, no
         later cluster can improve that row;
-      * t_exit[i] is ray i's exit distance from the union scene AABB —
-        all geometry lies inside it, so min(best_t, t_exit) bounds the
-        ray's remaining interest even when it has no hit yet (this is
-        what lets rows containing miss rays converge)."""
+      * t_exit[i] is ray i's max slab-exit over the clusters it
+        touches — every possible hit lies before it, so
+        min(best_t, t_exit) bounds the ray's remaining interest even
+        when it has no hit yet (this is what lets rows containing miss
+        rays converge; rays that touch nothing close immediately)."""
     b = o.shape[0]
     c = cluster_min.shape[0]
     if c > _MAX_CLUSTERS:
@@ -868,7 +903,7 @@ def _cluster_list(cluster_min, cluster_max, o, d, t_min):
         (DMA_ROWS, RAY_TILE), lambda i, j: (i, 0),
         memory_space=pltpu.VMEM,
     )
-    pre = pl.pallas_call(
+    pre, t_exit = pl.pallas_call(
         _kernel_prepass,
         grid=(tiles, cpad // TRI_CHUNK),
         in_specs=[
@@ -877,28 +912,32 @@ def _cluster_list(cluster_min, cluster_max, o, d, t_min):
         ]
         + [ray_spec] * 6
         + [pl.BlockSpec(memory_space=pltpu.SMEM)],
-        out_specs=pl.BlockSpec(
-            (1, TRI_CHUNK, 2 * DMA_ROWS), lambda i, j: (i, j, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct(
-            (tiles, cpad, 2 * DMA_ROWS), jnp.float32
-        ),
+        out_specs=[
+            pl.BlockSpec(
+                (1, TRI_CHUNK, 2 * DMA_ROWS), lambda i, j: (i, j, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, DMA_ROWS, RAY_TILE), lambda i, j: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((tiles, cpad, 2 * DMA_ROWS), jnp.float32),
+            jax.ShapeDtypeStruct((tiles, DMA_ROWS, RAY_TILE), jnp.float32),
+        ],
     )(
         cb,
         *_ray_comps(o, jnp.zeros_like(o), rows)[:3],
         *_ray_comps(inv_d, jnp.zeros_like(o), rows)[:3],
-        jnp.full((1,), t_min, jnp.float32),
+        jnp.stack([
+            jnp.asarray(t_min, jnp.float32),
+            jnp.asarray(float(c), jnp.float32),
+        ]),
     )
+    t_exit = t_exit.reshape(b)
     row_hit = pre[:, :, :DMA_ROWS] > 0.0   # (tiles, Cpad, ROWS)
     tn = pre[:, :, DMA_ROWS]               # (tiles, Cpad)
-
-    # per-ray exit distance from the union scene AABB
-    scene_lo = jnp.min(cluster_min, axis=0)
-    scene_hi = jnp.max(cluster_max, axis=0)
-    e1 = (scene_lo[None, :] - o) * inv_d
-    e2 = (scene_hi[None, :] - o) * inv_d
-    t_exit = jnp.min(jnp.maximum(e1, e2), axis=1)     # (B,)
 
     shifts = jnp.int32(1) << jnp.arange(DMA_ROWS, dtype=jnp.int32)
     bits = jnp.sum(

@@ -56,7 +56,7 @@ from ..core.math_utils import (
 from ..core import rng
 from ..ops.bvh import BVH, bvh_closest_hit
 from ..ops.intersect_pallas import pallas_closest_hit
-from ..ops.guiding import CDFPack, grid_pdf, sample_grid
+from ..ops.guiding import CDFPack, sample_grid, sample_grid_mis
 from ..ops.intersect import closest_hit
 from ..scene.mesh import Geometry
 
@@ -73,33 +73,39 @@ def _sample_bsdf(sn, u, v):
 
 def _sample_pure_grid(cdfs, prim, sn, draws):
     """Pure grid-guided sampling with the cos/(pi*pdf) reweighting and
-    firefly clamp (integrator.h:244-257)."""
+    firefly clamp (integrator.h:244-257). Returns (dir, weight, valid)
+    with the grid-validity flag coming out of the same prim_table fetch
+    the sampler uses (one gather, not two)."""
+    row16 = cdfs.prim_table[prim]
     d, pdf = sample_grid(
-        cdfs, prim, sn, draws[:, 0], draws[:, 1], draws[:, 2], draws[:, 3]
+        cdfs, prim, sn, draws[:, 0], draws[:, 1], draws[:, 2], draws[:, 3],
+        row16=row16,
     )
     cos_t = jnp.maximum(dot(d, sn), 0.0)
     w = cos_t / (PI * jnp.maximum(pdf, 1e-6))
-    return d, jnp.clip(w, 0.0, FIREFLY_CLAMP)
+    return d, jnp.clip(w, 0.0, FIREFLY_CLAMP), row16[:, 9] > 0.0
 
 
 def _sample_mis(cdfs, prim, sn, draws, bsdf_prob):
-    """One-sample MIS with power heuristic (integrator.h:112-166)."""
+    """One-sample MIS with power heuristic (integrator.h:112-166).
+    Returns (dir, weight, valid). Both distribution queries go through
+    guiding.sample_grid_mis, which coalesces the per-lane gathers."""
     p_b = jnp.clip(bsdf_prob, 0.01, 0.99)
     p_g = 1.0 - p_b
     use_bsdf = draws[:, 5] < p_b
 
-    # BSDF branch
+    # BSDF branch direction
     d_b, _ = cosine_sample_hemisphere(sn, draws[:, 0], draws[:, 1])
     cos_b = jnp.maximum(dot(d_b, sn), 0.0)
     pdf_bb = cos_b / PI
-    pdf_bg = grid_pdf(cdfs, prim, d_b, sn)
+
+    d_g, pdf_gg, pdf_bg, g_valid = sample_grid_mis(
+        cdfs, prim, sn, draws[:, 0], draws[:, 1], draws[:, 2], draws[:, 3],
+        d_b,
+    )
     w_b = power_heuristic(pdf_bb, pdf_bg) / p_b
     w_b = jnp.where(pdf_bb > 1e-6, w_b, 0.0)
 
-    # Grid branch
-    d_g, pdf_gg = sample_grid(
-        cdfs, prim, sn, draws[:, 0], draws[:, 1], draws[:, 2], draws[:, 3]
-    )
     cos_g = jnp.maximum(dot(d_g, sn), 0.0)
     pdf_gb = cos_g / PI
     w_g = power_heuristic(pdf_gg, pdf_gb) * cos_g / (
@@ -113,7 +119,7 @@ def _sample_mis(cdfs, prim, sn, draws, bsdf_prob):
 
     d = jnp.where(use_bsdf[:, None], d_b, d_g)
     w = jnp.where(use_bsdf, w_b, w_g)
-    return d, w
+    return d, w, g_valid
 
 
 
@@ -151,11 +157,14 @@ def _shade(hit, d, beta, live, draws, mode, cdfs, mis_frac, do_rr):
     if mode == SAMPLING_BSDF:
         nd, w = _sample_bsdf(sn, draws[:, 0], draws[:, 1])
     else:
-        g_valid = cdfs.valid[hit.prim]
         if mode == SAMPLING_MIS:
-            nd_g, w_g = _sample_mis(cdfs, hit.prim, sn, draws, mis_frac)
+            nd_g, w_g, g_valid = _sample_mis(
+                cdfs, hit.prim, sn, draws, mis_frac
+            )
         else:
-            nd_g, w_g = _sample_pure_grid(cdfs, hit.prim, sn, draws)
+            nd_g, w_g, g_valid = _sample_pure_grid(
+                cdfs, hit.prim, sn, draws
+            )
         nd_c, w_c = _sample_bsdf(sn, draws[:, 0], draws[:, 1])
         nd = jnp.where(g_valid[:, None], nd_g, nd_c)
         w = jnp.where(g_valid, w_g, w_c)
@@ -274,11 +283,14 @@ def trace(
         if mode == SAMPLING_BSDF:
             nd, w = _sample_bsdf(sn, draws[:, 0], draws[:, 1])
         else:
-            g_valid = cdfs.valid[hit.prim]
             if mode == SAMPLING_MIS:
-                nd_g, w_g = _sample_mis(cdfs, hit.prim, sn, draws, mis_frac)
+                nd_g, w_g, g_valid = _sample_mis(
+                    cdfs, hit.prim, sn, draws, mis_frac
+                )
             else:
-                nd_g, w_g = _sample_pure_grid(cdfs, hit.prim, sn, draws)
+                nd_g, w_g, g_valid = _sample_pure_grid(
+                    cdfs, hit.prim, sn, draws
+                )
             nd_c, w_c = _sample_bsdf(sn, draws[:, 0], draws[:, 1])
             nd = jnp.where(g_valid[:, None], nd_g, nd_c)
             w = jnp.where(g_valid, w_g, w_c)
@@ -393,10 +405,19 @@ def trace_wavefront(
         lane_ids = jnp.arange(b, dtype=jnp.int32)
     mis_frac = jnp.asarray(mis_bsdf_fraction, jnp.float32)
     max_iters = spp * max_depth + max_depth
+    scene_lo = jnp.min(geom.corners.reshape(-1, 3), axis=0)
+    scene_hi = jnp.max(geom.corners.reshape(-1, 3), axis=0)
     if sort_rays:
-        scene_lo = jnp.min(geom.corners.reshape(-1, 3), axis=0)
-        scene_hi = jnp.max(geom.corners.reshape(-1, 3), axis=0)
         inv_ext = 1.0 / jnp.maximum(scene_hi - scene_lo, 1e-6)
+    # Lanes that finished every sample stay in the batch (static shapes)
+    # but must not cost intersection work: park them on a ray that
+    # starts outside the scene AABB pointing away, so the culled
+    # backend's pre-pass gives them zero cluster incidence and their
+    # 128-lane rows close immediately. Without this, stale dead-lane
+    # rays inflated late-iteration cluster unions 17x (measured 4.2 ms
+    # -> 71.8 ms per bounce across one pass on the 101k-tri scene).
+    park_o = scene_hi + 1.0
+    park_d = jnp.array([1.0, 0.0, 0.0], jnp.float32)
 
     def spawn(iter_key, mask, o, d, px, py, pid):
         jit2 = rng.lane_uniforms(
@@ -441,6 +462,8 @@ def trace_wavefront(
         depth = jnp.where(respawn, 0, depth)
         done = done + respawn.astype(jnp.int32)
         alive = live | respawn
+        o = jnp.where(alive[:, None], o, park_o)
+        d = jnp.where(alive[:, None], d, park_d)
 
         if sort_rays:
             # 3-bit direction octant above 27 bits of origin Morton:

@@ -171,22 +171,39 @@ def kernel_profile_traced(step_fn, *args, log_dir=None) -> dict:
             op_tids.setdefault(e.get("pid"), set()).add(e.get("tid"))
 
     seconds: dict = {}
+    per_op: dict = {}
     n_ops = 0
     for e in events:
         if e.get("ph") != "X" or e.get("pid") not in device_pids:
             continue
         if e.get("tid") not in op_tids.get(e.get("pid"), ()):
             continue
+        name = str(e.get("name", ""))
         phase = classify_op(
-            str(e.get("name", "")), str(e.get("args", {}).get(
-                "long_name", ""))
+            name, str(e.get("args", {}).get("long_name", ""))
         )
-        seconds[phase] = seconds.get(phase, 0.0) + e.get("dur", 0.0) / 1e6
+        dur = e.get("dur", 0.0) / 1e6
+        seconds[phase] = seconds.get(phase, 0.0) + dur
+        s, c, calls = per_op.get(name, (0.0, 0, []))
+        per_op[name] = (s + dur, c + 1, calls + [dur])
         n_ops += 1
     total = sum(seconds.values()) or 1.0
+    top = sorted(per_op.items(), key=lambda kv: -kv[1][0])[:15]
     return {
         "seconds": seconds,
         "percent": {k: 100.0 * v / total for k, v in seconds.items()},
         "ops": n_ops,
         "device_total": total,
+        "top_ops": [
+            {
+                "name": k,
+                "ms": round(v[0] * 1e3, 3),
+                "count": v[1],
+                # per-call ms when the op repeats (e.g. one pallas call
+                # per wavefront iteration) — shows cost vs bounce depth
+                "calls_ms": [round(x * 1e3, 2) for x in v[2][:32]]
+                if v[1] > 1 else None,
+            }
+            for k, v in top
+        ],
     }
