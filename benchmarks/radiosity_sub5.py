@@ -1,0 +1,88 @@
+"""Sub-5 radiosity solve (16384 prims / 32768 tris): the scale demo.
+
+The reference's workflow caps at subdivision 4 (ui_windows.h:213). Our
+solver streams the N^2 form-factor sweep in bounded row groups (each
+device program well under the environment watchdog) and never holds
+more than (rows_per_call, N) intermediates, so sub-5 completes on one
+chip. Writes a render + timing JSON.
+
+Usage: python benchmarks/radiosity_sub5.py [--samples 4] [--iters 8]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                ".."))
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--samples", type=int, default=4)
+    ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--sub", type=int, default=5)
+    args = ap.parse_args()
+
+    import jax
+
+    from tpu_pathtracer.ops.intersect_pallas import (
+        pack_prim_ids,
+        pack_triangles,
+    )
+    from tpu_pathtracer.render.camera import CameraController
+    from tpu_pathtracer.render.radiosity import solve_radiosity
+    from tpu_pathtracer.render.renderer import (
+        RenderSettings,
+        render_radiosity_view,
+    )
+    from tpu_pathtracer.scene.builtin import cornell_box
+    from tpu_pathtracer.scene.mesh import subdivide
+    from tpu_pathtracer.utils.png import write_png_bottom_up
+
+    geom = subdivide(cornell_box("quads"), args.sub).build()
+    n = geom.num_prims
+    print(f"sub-{args.sub}: {n} prims, {geom.num_tris} tris, "
+          f"{n * n / 1e6:.1f}M FF pairs x {args.samples} samples")
+
+    packs = (pack_triangles(geom), pack_prim_ids(geom))
+    t0 = time.time()
+    sol = solve_radiosity(
+        geom, jax.random.key(12345),
+        num_iterations=args.iters,
+        mc_samples=args.samples,
+        occlusion_packs=packs,
+    )
+    jax.block_until_ready(sol.radiosity)
+    solve_s = time.time() - t0
+    print(f"solve: {solve_s:.1f} s")
+
+    cam = CameraController.default().build()
+    s = RenderSettings(width=512, height=512, max_depth=1, spp_per_pass=1)
+    img = render_radiosity_view(geom, sol.radiosity, cam,
+                                jax.random.key(0), s)
+    out = os.path.join(HERE, "..", "outputs",
+                       f"cbox_sub{args.sub}_step{args.iters}.png")
+    write_png_bottom_up(out, img)
+    print(f"wrote {out}")
+
+    import numpy as np
+
+    result = {
+        "prims": int(n),
+        "mc_samples": args.samples,
+        "iterations": args.iters,
+        "solve_seconds": round(solve_s, 1),
+        "total_radiosity_mean": float(np.asarray(sol.radiosity).mean()),
+    }
+    with open(os.path.join(HERE, "radiosity_sub5_result.json"), "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -153,15 +153,28 @@ def _cell_pdf_math(cell, total_weight, theta_idx):
     return jnp.where(cell < 1e-8, 1e-6, val)
 
 
-def _pdf_for_cell(cdfs, prim, total_weight, theta_idx, phi_idx):
-    """computePDFForCell (grid.h:258-273).
+def _pdf_row(cdfs, prim, theta_idx):
+    """Fetch each lane's (16,) pdf theta-row with a row gather.
 
-    The cell value is fetched with ONE flat-index per-lane gather
-    (prim * 256 + cell) instead of gathering each lane's whole (256,)
-    pdf row and selecting — per-lane gather cost scales with elements
-    fetched, and this is in the guided-mode hot loop."""
-    idx = theta_idx * GRID_RES + phi_idx
-    cell = cdfs.pdf.reshape(-1)[prim * GRID_SIZE + idx]
+    Traced on TPU: a (B,)->(B,) SINGLE-ELEMENT gather lowers to a
+    serial per-lane fusion costing ~0.93 ms at B=64k (60% of the whole
+    guided bounce), while a (B,)->(B,16) row gather costs ~0.1 ms. So
+    cell values are fetched as rows and the cell is selected in
+    registers (one-hot mask-sum — exact: one nonzero term)."""
+    return cdfs.pdf.reshape(-1, GRID_RES)[prim * GRID_RES + theta_idx]
+
+
+def _select16(row, idx):
+    """row (..., 16), idx (...,) -> row[idx], exactly, without a gather."""
+    lanes = jnp.arange(GRID_RES, dtype=jnp.int32)
+    return jnp.sum(
+        jnp.where(lanes == idx[..., None], row, 0.0), axis=-1
+    )
+
+
+def _pdf_for_cell(cdfs, prim, total_weight, theta_idx, phi_idx):
+    """computePDFForCell (grid.h:258-273)."""
+    cell = _select16(_pdf_row(cdfs, prim, theta_idx), phi_idx)
     return _cell_pdf_math(cell, total_weight, theta_idx)
 
 
@@ -224,13 +237,13 @@ def sample_grid_mis(cdfs: CDFPack, prim, normal, xi1, xi2, jt, jp, d_b):
 
       1. one (B,)->(B,16) `prim_table` row (marginal CDF, total, valid),
       2. one (B,)->(B,16) winning theta-row conditional CDF,
-      3. one (2,B) flat gather for BOTH pdf cells (sampled cell + d_b's
-         cell).
+      3. two (B,)->(B,16) pdf theta-rows with in-register cell selects
+         (single-element per-lane gathers traced ~10x slower PER ELEMENT
+         than 16-wide row gathers — see _pdf_row).
 
     vs the 7 chained per-lane gathers of the naive composition
-    (sample_grid + grid_pdf + valid): per-lane gathers run at ~50x their
-    byte cost on TPU, and this path was measured 9x slower than BSDF
-    sampling before coalescing. Bitwise-identical values to
+    (sample_grid + grid_pdf + valid); this path was measured 9x slower
+    than BSDF sampling before coalescing. Bitwise-identical values to
     sample_grid/grid_pdf.
 
     Returns (d_g, pdf_gg, pdf_bg, g_valid).
@@ -262,16 +275,10 @@ def sample_grid_mis(cdfs: CDFPack, prim, normal, xi1, xi2, jt, jp, d_b):
         (pb * (0.5 / PI) * GRID_RES).astype(jnp.int32), 0, GRID_RES - 1
     )
 
-    base = prim * GRID_SIZE
-    cells = jnp.stack(
-        [
-            base + theta_idx * GRID_RES + phi_idx,
-            base + tb_idx * GRID_RES + pb_idx,
-        ]
-    )                                                     # (2, B)
-    vals = cdfs.pdf.reshape(-1)[cells]
-    pdf_gg = _cell_pdf_math(vals[0], total, theta_idx)
+    val_g = _select16(_pdf_row(cdfs, prim, theta_idx), phi_idx)
+    val_b = _select16(_pdf_row(cdfs, prim, tb_idx), pb_idx)
+    pdf_gg = _cell_pdf_math(val_g, total, theta_idx)
     pdf_bg = jnp.where(
-        tb > PI * 0.5, 0.0, _cell_pdf_math(vals[1], total, tb_idx)
+        tb > PI * 0.5, 0.0, _cell_pdf_math(val_b, total, tb_idx)
     )
     return d_g, pdf_gg, pdf_bg, g_valid
