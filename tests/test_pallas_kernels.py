@@ -154,6 +154,39 @@ class TestCulled:
                 np.asarray(ref.prim)[m],
             )
 
+    def test_sort_rays_bitwise_invariant(self):
+        """sort_rays=True re-orders the batch by nearest-cluster key
+        but must return bitwise-identical (t, id) in the caller's lane
+        order (deterministic tie-breaks make per-ray results order-
+        invariant). Incoherent rays so the permutation is nontrivial."""
+        geom = subdivide(cornell_box("quads"), 3).build()  # 2048 tris
+        key = jax.random.key(7)
+        ko, kd = jax.random.split(key)
+        n = 8192
+        o = jax.random.uniform(
+            ko, (n, 3), minval=-2.5, maxval=2.5
+        ) + jnp.array([0.0, 2.75, 0.0])
+        d = jax.random.normal(kd, (n, 3))
+        d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+        cs = ip.CulledScene(geom)
+        t0, i0 = ip.pallas_closest_tuv_dma(
+            cs.tri_pack, cs.cluster_min, cs.cluster_max, o, d
+        )
+        t1, i1 = ip.pallas_closest_tuv_dma(
+            cs.tri_pack, cs.cluster_min, cs.cluster_max, o, d,
+            sort_rays=True,
+        )
+        np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))
+        np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+        # the sorted CulledScene end-to-end: Hit fields identical too
+        cs_s = ip.CulledScene(geom, sort_rays=True)
+        h0 = cs.closest_hit(geom, o, d)
+        h1 = cs_s.closest_hit(geom, o, d)
+        for f in ("valid", "t", "prim", "n", "albedo", "emission"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(h0, f)), np.asarray(getattr(h1, f))
+            )
+
     def test_mask_covers_all_hit_clusters(self):
         """The XLA pre-pass must never cull a cluster a ray hits."""
         geom = subdivide(cornell_box("quads"), 2).build()

@@ -582,7 +582,9 @@ class CulledScene:
     """Precomputed state for the cluster-culled intersector (pytree so it
     can ride through jit boundaries)."""
 
-    def __init__(self, geom: Geometry = None, _leaves=None):
+    def __init__(self, geom: Geometry = None, _leaves=None,
+                 sort_rays=False):
+        self.sort_rays = sort_rays
         if _leaves is not None:
             (self.tri_pack, self.cluster_min, self.cluster_max,
              self.attr_table) = _leaves
@@ -611,19 +613,20 @@ class CulledScene:
         return (
             (self.tri_pack, self.cluster_min, self.cluster_max,
              self.attr_table),
-            None,
+            self.sort_rays,
         )
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
-        return cls(_leaves=leaves)
+        return cls(_leaves=leaves, sort_rays=aux)
 
     def closest_hit(self, geom: Geometry, o, d, t_min=1e-4,
                     t_max=jnp.inf):
         from .intersect import Hit
 
         t, ridx = pallas_closest_tuv_dma(
-            self.tri_pack, self.cluster_min, self.cluster_max, o, d, t_min
+            self.tri_pack, self.cluster_min, self.cluster_max, o, d,
+            t_min, sort_rays=self.sort_rays,
         )
         valid = jnp.isfinite(t) & (t < t_max)
         row = self.attr_table[jnp.where(valid, ridx, 0)]  # one gather
@@ -775,7 +778,7 @@ _MAX_CLUSTERS = 1 << _ID_BITS
 
 
 def _kernel_prepass(cb_ref, ox, oy, oz, ix, iy, iz, scal_ref, out_ref,
-                    texit_ref):
+                    texit_ref, tbest_ref, cbest_ref):
     """Per-tile cluster visibility pre-pass at register speed.
 
     One grid step = (1024-ray tile i) x (128-cluster block j): clusters
@@ -818,6 +821,8 @@ def _kernel_prepass(cb_ref, ox, oy, oz, ix, iy, iz, scal_ref, out_ref,
 
     hits8 = []
     exits8 = []
+    tbest8 = []
+    cbest8 = []
     tn_min = jnp.full((TRI_CHUNK, 1), jnp.inf, jnp.float32)
     for r in range(DMA_ROWS):
         ro = (ox[r:r+1, :], oy[r:r+1, :], oz[r:r+1, :])
@@ -839,6 +844,19 @@ def _kernel_prepass(cb_ref, ox, oy, oz, ix, iy, iz, scal_ref, out_ref,
                 axis=0, keepdims=True,
             )
         )                                     # (1, 128) per-ray
+        # per-ray NEAREST touched cluster (entry distance + id): the
+        # cluster-coherence sort key (see pallas_closest_tuv_dma).
+        tn_ray = jnp.where(hit & cvalid, tn, jnp.inf)
+        tbr = jnp.min(tn_ray, axis=0, keepdims=True)          # (1, 128)
+        cids = jax.lax.broadcasted_iota(
+            jnp.int32, (TRI_CHUNK, RAY_TILE), 0
+        ) + j * TRI_CHUNK
+        cbr = jnp.min(
+            jnp.where(tn_ray == tbr, cids, jnp.int32(0x7FFFFFFF)),
+            axis=0, keepdims=True,
+        ).astype(jnp.float32)                                 # (1, 128)
+        tbest8.append(tbr)
+        cbest8.append(cbr)
         tn_min = jnp.minimum(
             tn_min,
             jnp.min(jnp.where(hit, tn, jnp.inf), axis=1, keepdims=True),
@@ -847,14 +865,99 @@ def _kernel_prepass(cb_ref, ox, oy, oz, ix, iy, iz, scal_ref, out_ref,
         hits8 + [jnp.broadcast_to(tn_min, (TRI_CHUNK, DMA_ROWS))], axis=1
     )                                         # (128, 16)
     ex = jnp.concatenate(exits8, axis=0)      # (8, 128)
+    tb = jnp.concatenate(tbest8, axis=0)      # (8, 128)
+    cb = jnp.concatenate(cbest8, axis=0)      # (8, 128)
 
     @pl.when(j == 0)
     def _():
         texit_ref[0] = jnp.maximum(ex, t_min)
+        tbest_ref[0] = tb
+        cbest_ref[0] = cb
 
     @pl.when(j > 0)
     def _():
         texit_ref[0] = jnp.maximum(texit_ref[0], ex)
+        closer = tb < tbest_ref[0]
+        tbest_ref[0] = jnp.where(closer, tb, tbest_ref[0])
+        cbest_ref[0] = jnp.where(closer, cb, cbest_ref[0])
+
+
+def _prepass(cluster_min, cluster_max, o, d, t_min):
+    """Run the register-speed cluster visibility pre-pass.
+
+    Returns (pre (tiles, Cpad, 16), t_exit (B,), c_best (B,) f32,
+    n_clusters, Cpad). pre carries per-(tile, cluster) row-hit flags +
+    tile-min entry distance; t_exit / c_best are per-ray (see
+    _kernel_prepass)."""
+    b = o.shape[0]
+    c = cluster_min.shape[0]
+    if c > _MAX_CLUSTERS:
+        raise ValueError(
+            f"{c} clusters exceeds the packed-key cap {_MAX_CLUSTERS} "
+            f"({_MAX_CLUSTERS * TRI_CHUNK} triangles)"
+        )
+    tiles = b // RAYS_PER_TILE
+    rows = b // RAY_TILE
+    cpad = ((c + RAY_TILE - 1) // RAY_TILE) * RAY_TILE
+    safe_d = jnp.where(jnp.abs(d) > 1e-8, d, 1e-8)
+    inv_d = 1.0 / safe_d
+    # padded clusters get a degenerate AABB at +inf; rays positive on
+    # every axis still "hit" it (inf >= inf) — masked off by callers
+    cb = jnp.concatenate(
+        [
+            jnp.pad(cluster_min.T, ((0, 0), (0, cpad - c)),
+                    constant_values=jnp.inf),
+            jnp.pad(cluster_max.T, ((0, 0), (0, cpad - c)),
+                    constant_values=jnp.inf),
+            jnp.zeros((2, cpad), jnp.float32),
+        ]
+    )                                         # (8, Cpad)
+
+    ray_spec = pl.BlockSpec(
+        (DMA_ROWS, RAY_TILE), lambda i, j: (i, 0),
+        memory_space=pltpu.VMEM,
+    )
+    per_ray_spec = pl.BlockSpec(
+        (1, DMA_ROWS, RAY_TILE), lambda i, j: (i, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    per_ray_shape = jax.ShapeDtypeStruct(
+        (tiles, DMA_ROWS, RAY_TILE), jnp.float32
+    )
+    pre, t_exit, _t_best, c_best = pl.pallas_call(
+        _kernel_prepass,
+        grid=(tiles, cpad // TRI_CHUNK),
+        in_specs=[
+            pl.BlockSpec((8, TRI_CHUNK), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM)
+        ]
+        + [ray_spec] * 6
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=[
+            pl.BlockSpec(
+                (1, TRI_CHUNK, 2 * DMA_ROWS), lambda i, j: (i, j, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            per_ray_spec,
+            per_ray_spec,
+            per_ray_spec,
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((tiles, cpad, 2 * DMA_ROWS), jnp.float32),
+            per_ray_shape,
+            per_ray_shape,
+            per_ray_shape,
+        ],
+    )(
+        cb,
+        *_ray_comps(o, jnp.zeros_like(o), rows)[:3],
+        *_ray_comps(inv_d, jnp.zeros_like(o), rows)[:3],
+        jnp.stack([
+            jnp.asarray(t_min, jnp.float32),
+            jnp.asarray(float(c), jnp.float32),
+        ]),
+    )
+    return pre, t_exit.reshape(b), c_best.reshape(b), c, cpad
 
 
 def _cluster_list(cluster_min, cluster_max, o, d, t_min):
@@ -874,68 +977,15 @@ def _cluster_list(cluster_min, cluster_max, o, d, t_min):
         touches — every possible hit lies before it, so
         min(best_t, t_exit) bounds the ray's remaining interest even
         when it has no hit yet (this is what lets rows containing miss
-        rays converge; rays that touch nothing close immediately)."""
+        rays converge; rays that touch nothing close immediately);
+      * c_best[i] is ray i's NEAREST touched cluster id (by entry
+        distance; 2^31-1 if it touches nothing) — the coherence key
+        for the ray sort in pallas_closest_tuv_dma."""
+    pre, t_exit, c_best, c, cpad = _prepass(
+        cluster_min, cluster_max, o, d, t_min
+    )
     b = o.shape[0]
-    c = cluster_min.shape[0]
-    if c > _MAX_CLUSTERS:
-        raise ValueError(
-            f"{c} clusters exceeds the packed-key cap {_MAX_CLUSTERS} "
-            f"({_MAX_CLUSTERS * TRI_CHUNK} triangles)"
-        )
     tiles = b // RAYS_PER_TILE
-    rows = b // RAY_TILE
-    cpad = ((c + RAY_TILE - 1) // RAY_TILE) * RAY_TILE
-    safe_d = jnp.where(jnp.abs(d) > 1e-8, d, 1e-8)
-    inv_d = 1.0 / safe_d
-    # padded clusters get a degenerate AABB at +inf; rays positive on
-    # every axis still "hit" it (inf >= inf) — masked off below
-    cb = jnp.concatenate(
-        [
-            jnp.pad(cluster_min.T, ((0, 0), (0, cpad - c)),
-                    constant_values=jnp.inf),
-            jnp.pad(cluster_max.T, ((0, 0), (0, cpad - c)),
-                    constant_values=jnp.inf),
-            jnp.zeros((2, cpad), jnp.float32),
-        ]
-    )                                         # (8, Cpad)
-
-    ray_spec = pl.BlockSpec(
-        (DMA_ROWS, RAY_TILE), lambda i, j: (i, 0),
-        memory_space=pltpu.VMEM,
-    )
-    pre, t_exit = pl.pallas_call(
-        _kernel_prepass,
-        grid=(tiles, cpad // TRI_CHUNK),
-        in_specs=[
-            pl.BlockSpec((8, TRI_CHUNK), lambda i, j: (0, j),
-                         memory_space=pltpu.VMEM)
-        ]
-        + [ray_spec] * 6
-        + [pl.BlockSpec(memory_space=pltpu.SMEM)],
-        out_specs=[
-            pl.BlockSpec(
-                (1, TRI_CHUNK, 2 * DMA_ROWS), lambda i, j: (i, j, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, DMA_ROWS, RAY_TILE), lambda i, j: (i, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((tiles, cpad, 2 * DMA_ROWS), jnp.float32),
-            jax.ShapeDtypeStruct((tiles, DMA_ROWS, RAY_TILE), jnp.float32),
-        ],
-    )(
-        cb,
-        *_ray_comps(o, jnp.zeros_like(o), rows)[:3],
-        *_ray_comps(inv_d, jnp.zeros_like(o), rows)[:3],
-        jnp.stack([
-            jnp.asarray(t_min, jnp.float32),
-            jnp.asarray(float(c), jnp.float32),
-        ]),
-    )
-    t_exit = t_exit.reshape(b)
     row_hit = pre[:, :, :DMA_ROWS] > 0.0   # (tiles, Cpad, ROWS)
     tn = pre[:, :, DMA_ROWS]               # (tiles, Cpad)
 
@@ -979,7 +1029,7 @@ def _cluster_list(cluster_min, cluster_max, o, d, t_min):
     # (64, 896) i32; the DMA kernel counting-sorts the active keys by
     # distance bin on its scalar core instead (~us per tile).
     lostep = jnp.stack([lo, step], axis=1)           # (tiles, 2)
-    return count, keys, lostep, t_exit
+    return count, keys, lostep, t_exit, c_best.reshape(b)
 
 
 _EARLY_BLOCK = 8   # clusters between early-out refreshes (amortizes the
@@ -1225,19 +1275,52 @@ def _kernel_culled_dma(count_ref, key_ref, lostep_ref, tri_hbm,
     id_out[...] = jnp.maximum(id_fin, 0)
 
 
-@partial(jax.jit, static_argnames=("return_stats",))
+@partial(jax.jit, static_argnames=("return_stats", "sort_rays"))
 def pallas_closest_tuv_dma(tri_pack, cluster_min, cluster_max, o, d,
-                           t_min=1e-4, return_stats=False):
+                           t_min=1e-4, return_stats=False,
+                           sort_rays=False):
     """(t, reordered tri idx) closest hit; triangles stream from HBM.
     Works for arbitrary scene sizes and batch sizes. With
     return_stats=True also returns (visited, scheduled) cluster counts
-    per ray tile (early-out diagnostics)."""
+    per ray tile (early-out diagnostics).
+
+    sort_rays=True re-orders the batch by each ray's nearest touched
+    cluster (Morton-ordered ids, so the key is spatial) + direction
+    octant before tiling. Incoherent bounce batches otherwise pay the
+    kernel's 128-ray-row granularity: a row's cluster UNION was
+    measured 12x its per-ray mean (45.2 vs 3.6 on the 101k-tri scene),
+    and the per-tile schedule the kernel walks SERIALLY is the 8-row
+    union of that. Sorting makes rows cluster-pure, collapsing both.
+    Per-ray results are order-invariant (deterministic tie-breaks), so
+    outputs are un-permuted and bitwise identical to sort_rays=False;
+    only (o, d) are permuted and only (t, id) travel back — the prior
+    integrator-level sort permuted all 13 wavefront state arrays and
+    lost its kernel savings to gather traffic."""
     (o, d), b0 = _pad_rays(o, d)
     b = o.shape[0]
     rows = b // RAY_TILE
     tiles = b // RAYS_PER_TILE
 
-    count, keys, lostep, t_exit = _cluster_list(
+    if sort_rays:
+        _, _, c_probe, _, _ = _prepass(
+            cluster_min, cluster_max, o, d, t_min
+        )
+        octant = (
+            (d[:, 0] > 0).astype(jnp.int32)
+            + 2 * (d[:, 1] > 0).astype(jnp.int32)
+            + 4 * (d[:, 2] > 0).astype(jnp.int32)
+        )
+        touches = c_probe < jnp.float32(2**30)
+        key = jnp.where(
+            touches,
+            c_probe.astype(jnp.int32) * 8 + octant,
+            jnp.int32(0x7FFFFFFF),
+        )
+        perm = jnp.argsort(key)
+        inv = jnp.argsort(perm)
+        o, d = o[perm], d[perm]
+
+    count, keys, lostep, t_exit, _ = _cluster_list(
         cluster_min, cluster_max, o, d, t_min
     )
 
@@ -1285,7 +1368,9 @@ def pallas_closest_tuv_dma(tri_pack, cluster_min, cluster_max, o, d,
         t_exit.reshape(rows, RAY_TILE),
         jnp.full((1,), t_min, jnp.float32),
     )
+    t, idx = t.reshape(b), idx.reshape(b)
+    if sort_rays:
+        t, idx = t[inv], idx[inv]
     if return_stats:
-        return (t.reshape(b)[:b0], idx.reshape(b)[:b0],
-                stats.reshape(tiles), count)
-    return t.reshape(b)[:b0], idx.reshape(b)[:b0]
+        return t[:b0], idx[:b0], stats.reshape(tiles), count
+    return t[:b0], idx[:b0]
