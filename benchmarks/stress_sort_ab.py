@@ -53,9 +53,14 @@ def main():
         spp_per_pass=args.spp, ray_chunk=1 << 16, wavefront=True,
     )
 
-    def bench(sort):
+    def bench(backend_sort, integ_sort):
+        si = s if not integ_sort else RenderSettings(
+            width=args.size, height=args.size, max_depth=args.depth,
+            spp_per_pass=args.spp, ray_chunk=1 << 16, wavefront=True,
+            sort_rays=True,
+        )
         r = ProgressiveRenderer(
-            geom, cam, s, culled=CulledScene(geom, sort_rays=sort)
+            geom, cam, si, culled=CulledScene(geom, sort_rays=backend_sort)
         )
         r.step()
         r.reset_stats()
@@ -67,14 +72,15 @@ def main():
         r.sync()
         return r.mrays_per_sec, np.asarray(r.film.accum)
 
-    base, img0 = bench(False)
-    sort, img1 = bench(True)
-    bitwise = bool((img0 == img1).all())
+    base, img0 = bench(False, False)
+    sort, img1 = bench(True, False)
+    integ, img2 = bench(False, True)
     out = {
         "stress_mrays_nosort": round(base, 3),
-        "stress_mrays_sorted": round(sort, 3),
-        "speedup": round(sort / base, 3),
-        "film_bitwise_equal": bitwise,
+        "stress_mrays_backend_sorted": round(sort, 3),
+        "stress_mrays_integrator_sorted": round(integ, 3),
+        "film_bitwise_equal": bool((img0 == img1).all()),
+        "film_bitwise_equal_integ": bool((img0 == img2).all()),
     }
     with open(os.path.join(HERE, "stress_sort_ab_result.json"), "w") as f:
         json.dump(out, f, indent=1)
