@@ -59,6 +59,11 @@ class CDFPack:
     # chained per-lane gathers (XLA per-lane gathers cost ~50x their
     # traffic; this is the guided-mode bottleneck, not the math).
     prim_table: jax.Array    # (N, 16)
+    # [conditional phi CDF(16) | pdf row(16)] per (prim, theta) row:
+    # the two tables the sampler needs AFTER choosing theta share the
+    # same prim*16+theta index, so one 32-wide row gather replaces two
+    # 16-wide ones (~0.1 ms each per bounce at 64k lanes).
+    theta_table: jax.Array   # (N*16, 32)
 
 
 def build_cdfs(pdf: jax.Array) -> CDFPack:
@@ -104,6 +109,13 @@ def build_cdfs(pdf: jax.Array) -> CDFPack:
         ],
         axis=1,
     )
+    theta_table = jnp.concatenate(
+        [
+            row_cdfs.reshape(n * GRID_RES, GRID_RES),
+            pdf.reshape(n * GRID_RES, GRID_RES),
+        ],
+        axis=1,
+    )
     return CDFPack(
         pdf=pdf,
         row_sums=row_sums,
@@ -112,6 +124,7 @@ def build_cdfs(pdf: jax.Array) -> CDFPack:
         total_weight=total,
         valid=valid,
         prim_table=prim_table,
+        theta_table=theta_table,
     )
 
 
@@ -200,11 +213,10 @@ def sample_grid(cdfs: CDFPack, prim, normal, xi1, xi2, jt, jp,
         marg = row16[:, :GRID_HALF_RES]
         total = row16[:, GRID_HALF_RES]
     theta_idx = _rank_cdf(marg, xi1)
-    # fetch only the WINNING theta row's (16,) CDF, via a flat combined
-    # index — not the lane's whole (128,) row_cdfs block
-    rows_flat = cdfs.row_cdfs.reshape(-1, GRID_RES)
-    row = rows_flat[prim * GRID_RES + theta_idx]          # (B, 16)
-    phi_idx = _rank_cdf(row, xi2)
+    # ONE (B,)->(B,32) gather of the winning theta row: conditional phi
+    # CDF + pdf row share the prim*16+theta index (see theta_table)
+    row32 = cdfs.theta_table[prim * GRID_RES + theta_idx]
+    phi_idx = _rank_cdf(row32[:, :GRID_RES], xi2)
 
     theta = (theta_idx.astype(jnp.float32) + jt) * GRID_INV_HALF_RES * (
         PI * 0.5
@@ -213,7 +225,8 @@ def sample_grid(cdfs: CDFPack, prim, normal, xi1, xi2, jt, jp,
     phi = (phi_idx.astype(jnp.float32) + jp) * GRID_INV_RES * TWO_PI
 
     d = from_local(spherical_to_local(theta, phi), normal)
-    pdf = _pdf_for_cell(cdfs, prim, total, theta_idx, phi_idx)
+    cell = _select16(row32[:, GRID_RES:], phi_idx)
+    pdf = _cell_pdf_math(cell, total, theta_idx)
     return d, pdf
 
 
@@ -236,10 +249,12 @@ def sample_grid_mis(cdfs: CDFPack, prim, normal, xi1, xi2, jt, jp, d_b):
     (integrator.h:112-166) — with gathers coalesced for the hot loop:
 
       1. one (B,)->(B,16) `prim_table` row (marginal CDF, total, valid),
-      2. one (B,)->(B,16) winning theta-row conditional CDF,
-      3. two (B,)->(B,16) pdf theta-rows with in-register cell selects
-         (single-element per-lane gathers traced ~10x slower PER ELEMENT
-         than 16-wide row gathers — see _pdf_row).
+      2. one (B,)->(B,32) winning `theta_table` row — the conditional
+         phi CDF and the pdf row share the prim*16+theta index,
+      3. one (B,)->(B,32) `theta_table` row for d_b's theta (pdf half
+         used), with in-register one-hot cell selects (single-element
+         per-lane gathers traced ~10x slower PER ELEMENT than row
+         gathers — see _pdf_row).
 
     vs the 7 chained per-lane gathers of the naive composition
     (sample_grid + grid_pdf + valid); this path was measured 9x slower
@@ -254,9 +269,8 @@ def sample_grid_mis(cdfs: CDFPack, prim, normal, xi1, xi2, jt, jp, d_b):
     g_valid = row16[:, GRID_HALF_RES + 1] > 0.0
 
     theta_idx = _rank_cdf(marg, xi1)
-    rows_flat = cdfs.row_cdfs.reshape(-1, GRID_RES)
-    row = rows_flat[prim * GRID_RES + theta_idx]          # (B, 16)
-    phi_idx = _rank_cdf(row, xi2)
+    row32 = cdfs.theta_table[prim * GRID_RES + theta_idx]  # (B, 32)
+    phi_idx = _rank_cdf(row32[:, :GRID_RES], xi2)
 
     theta = (theta_idx.astype(jnp.float32) + jt) * GRID_INV_HALF_RES * (
         PI * 0.5
@@ -275,8 +289,9 @@ def sample_grid_mis(cdfs: CDFPack, prim, normal, xi1, xi2, jt, jp, d_b):
         (pb * (0.5 / PI) * GRID_RES).astype(jnp.int32), 0, GRID_RES - 1
     )
 
-    val_g = _select16(_pdf_row(cdfs, prim, theta_idx), phi_idx)
-    val_b = _select16(_pdf_row(cdfs, prim, tb_idx), pb_idx)
+    val_g = _select16(row32[:, GRID_RES:], phi_idx)
+    row32_b = cdfs.theta_table[prim * GRID_RES + tb_idx]
+    val_b = _select16(row32_b[:, GRID_RES:], pb_idx)
     pdf_gg = _cell_pdf_math(val_g, total, theta_idx)
     pdf_bg = jnp.where(
         tb > PI * 0.5, 0.0, _cell_pdf_math(val_b, total, tb_idx)
