@@ -166,15 +166,40 @@ def _cell_pdf_math(cell, total_weight, theta_idx):
     return jnp.where(cell < 1e-8, 1e-6, val)
 
 
-def _pdf_row(cdfs, prim, theta_idx):
-    """Fetch each lane's (16,) pdf theta-row with a row gather.
+_ONEHOT_MAX_ROWS = 1024
+# Per-lane table-row fetch ladder, measured at B=64k on v5e:
+#   single-element gather  ~0.93 ms          (serial per-lane fusion)
+#   (B,)->(B,16/32) gather ~0.10 ms          (row-count independent)
+#   one-hot f32 matmul      2x faster than the gather at 256 rows
+#     (fetch+rank+select block: 0.204 vs 0.394 ms/iter, chained-loop
+#      bench; cost is streaming the (B, R) one-hot through HBM, so it
+#      scales linearly in rows while the gather does not)
+# The matmul is EXACT: HIGHEST-precision bf16x3 splits the f32 into
+# hi+mid+lo, and a one-hot contraction sums exactly those three terms.
+# Small tables (any scene below subdivision ~2 in the reference's
+# workflow) take the matmul; large ones fall back to the gather.
 
-    Traced on TPU: a (B,)->(B,) SINGLE-ELEMENT gather lowers to a
-    serial per-lane fusion costing ~0.93 ms at B=64k (60% of the whole
-    guided bounce), while a (B,)->(B,16) row gather costs ~0.1 ms. So
-    cell values are fetched as rows and the cell is selected in
-    registers (one-hot mask-sum — exact: one nonzero term)."""
-    return cdfs.pdf.reshape(-1, GRID_RES)[prim * GRID_RES + theta_idx]
+
+def _fetch_rows(table, idx):
+    """table (R, C), idx (B,) int32 -> (B, C), bitwise == table[idx]."""
+    r = table.shape[0]
+    if r <= _ONEHOT_MAX_ROWS:
+        onehot = (
+            idx[:, None] == jnp.arange(r, dtype=idx.dtype)[None, :]
+        ).astype(jnp.float32)
+        return jax.lax.dot_general(
+            onehot, table,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    return table[idx]
+
+
+def _pdf_row(cdfs, prim, theta_idx):
+    """Fetch each lane's (16,) pdf theta-row (see _fetch_rows ladder)."""
+    return _fetch_rows(
+        cdfs.pdf.reshape(-1, GRID_RES), prim * GRID_RES + theta_idx
+    )
 
 
 def _select16(row, idx):
@@ -215,7 +240,7 @@ def sample_grid(cdfs: CDFPack, prim, normal, xi1, xi2, jt, jp,
     theta_idx = _rank_cdf(marg, xi1)
     # ONE (B,)->(B,32) gather of the winning theta row: conditional phi
     # CDF + pdf row share the prim*16+theta index (see theta_table)
-    row32 = cdfs.theta_table[prim * GRID_RES + theta_idx]
+    row32 = _fetch_rows(cdfs.theta_table, prim * GRID_RES + theta_idx)
     phi_idx = _rank_cdf(row32[:, :GRID_RES], xi2)
 
     theta = (theta_idx.astype(jnp.float32) + jt) * GRID_INV_HALF_RES * (
@@ -263,13 +288,14 @@ def sample_grid_mis(cdfs: CDFPack, prim, normal, xi1, xi2, jt, jp, d_b):
 
     Returns (d_g, pdf_gg, pdf_bg, g_valid).
     """
-    row16 = cdfs.prim_table[prim]                         # (B, 16)
+    row16 = _fetch_rows(cdfs.prim_table, prim)            # (B, 16)
     marg = row16[:, :GRID_HALF_RES]
     total = row16[:, GRID_HALF_RES]
     g_valid = row16[:, GRID_HALF_RES + 1] > 0.0
 
     theta_idx = _rank_cdf(marg, xi1)
-    row32 = cdfs.theta_table[prim * GRID_RES + theta_idx]  # (B, 32)
+    row32 = _fetch_rows(cdfs.theta_table,
+                        prim * GRID_RES + theta_idx)       # (B, 32)
     phi_idx = _rank_cdf(row32[:, :GRID_RES], xi2)
 
     theta = (theta_idx.astype(jnp.float32) + jt) * GRID_INV_HALF_RES * (
@@ -290,7 +316,7 @@ def sample_grid_mis(cdfs: CDFPack, prim, normal, xi1, xi2, jt, jp, d_b):
     )
 
     val_g = _select16(row32[:, GRID_RES:], phi_idx)
-    row32_b = cdfs.theta_table[prim * GRID_RES + tb_idx]
+    row32_b = _fetch_rows(cdfs.theta_table, prim * GRID_RES + tb_idx)
     val_b = _select16(row32_b[:, GRID_RES:], pb_idx)
     pdf_gg = _cell_pdf_math(val_g, total, theta_idx)
     pdf_bg = jnp.where(

@@ -56,7 +56,12 @@ from ..core.math_utils import (
 from ..core import rng
 from ..ops.bvh import BVH, bvh_closest_hit
 from ..ops.intersect_pallas import pallas_closest_hit
-from ..ops.guiding import CDFPack, sample_grid, sample_grid_mis
+from ..ops.guiding import (
+    CDFPack,
+    _fetch_rows as fetch_rows,
+    sample_grid,
+    sample_grid_mis,
+)
 from ..ops.intersect import closest_hit
 from ..scene.mesh import Geometry
 
@@ -76,7 +81,7 @@ def _sample_pure_grid(cdfs, prim, sn, draws):
     firefly clamp (integrator.h:244-257). Returns (dir, weight, valid)
     with the grid-validity flag coming out of the same prim_table fetch
     the sampler uses (one gather, not two)."""
-    row16 = cdfs.prim_table[prim]
+    row16 = fetch_rows(cdfs.prim_table, prim)
     d, pdf = sample_grid(
         cdfs, prim, sn, draws[:, 0], draws[:, 1], draws[:, 2], draws[:, 3],
         row16=row16,
