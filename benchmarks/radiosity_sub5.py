@@ -29,6 +29,7 @@ def main():
     args = ap.parse_args()
 
     import jax
+    import jax.numpy as jnp
 
     from tpu_pathtracer.ops.intersect_pallas import (
         pack_prim_ids,
@@ -49,35 +50,46 @@ def main():
     print(f"sub-{args.sub}: {n} prims, {geom.num_tris} tris, "
           f"{n * n / 1e6:.1f}M FF pairs x {args.samples} samples")
 
-    packs = (pack_triangles(geom), pack_prim_ids(geom))
-    t0 = time.time()
-    sol = solve_radiosity(
-        geom, jax.random.key(12345),
-        num_iterations=args.iters,
-        mc_samples=args.samples,
-        occlusion_packs=packs,
-    )
-    jax.block_until_ready(sol.radiosity)
-    solve_s = time.time() - t0
-    print(f"solve: {solve_s:.1f} s")
+    import numpy as np
+
+    cache = os.path.join(HERE, f"radiosity_sub{args.sub}_solution.npz")
+    if os.path.exists(cache):
+        data = np.load(cache)
+        radiosity, solve_s = data["radiosity"], float(data["solve_s"])
+        print(f"loaded cached solution ({cache})")
+    else:
+        packs = (pack_triangles(geom), pack_prim_ids(geom))
+        t0 = time.time()
+        sol = solve_radiosity(
+            geom, jax.random.key(12345),
+            num_iterations=args.iters,
+            mc_samples=args.samples,
+            occlusion_packs=packs,
+        )
+        jax.block_until_ready(sol.radiosity)
+        solve_s = time.time() - t0
+        print(f"solve: {solve_s:.1f} s")
+        radiosity = np.asarray(sol.radiosity)
+        np.savez(cache, radiosity=radiosity, solve_s=solve_s)
 
     cam = CameraController.default().build()
-    s = RenderSettings(width=512, height=512, max_depth=1, spp_per_pass=1)
-    img = render_radiosity_view(geom, sol.radiosity, cam,
+    # small ray chunk: the brute primary-hit query materializes a
+    # (chunk, T, 3) intermediate; 64k x 32768 tris would be 24 GB
+    s = RenderSettings(width=512, height=512, max_depth=1, spp_per_pass=1,
+                       ray_chunk=2048)
+    img = render_radiosity_view(geom, jnp.asarray(radiosity), cam,
                                 jax.random.key(0), s)
     out = os.path.join(HERE, "..", "outputs",
                        f"cbox_sub{args.sub}_step{args.iters}.png")
     write_png_bottom_up(out, img)
     print(f"wrote {out}")
 
-    import numpy as np
-
     result = {
         "prims": int(n),
         "mc_samples": args.samples,
         "iterations": args.iters,
         "solve_seconds": round(solve_s, 1),
-        "total_radiosity_mean": float(np.asarray(sol.radiosity).mean()),
+        "total_radiosity_mean": float(np.asarray(radiosity).mean()),
     }
     with open(os.path.join(HERE, "radiosity_sub5_result.json"), "w") as f:
         json.dump(result, f, indent=1)

@@ -2,6 +2,7 @@
 Möller-Trumbore oracle (the algorithm in the reference triangle.h:64-96,
 re-implemented in straightforward NumPy)."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -179,3 +180,39 @@ class TestOccluded:
         # still blocked by floor? floor excluded? floor is exclude no...
         # here we exclude light + ceiling; floor remains but t=0 < eps.
         assert not bool(blocked2[0])
+
+
+class TestTriangleBlocking:
+    """Brute queries sweep triangles in _TRI_BLOCK blocks above the
+    threshold (bounds the (B, T) all-pairs intermediates). Structure
+    (valid/prim/occlusion) must match exactly; t only to ~1 ulp (XLA
+    fuses the FMA chains differently per compilation)."""
+
+    def test_blocked_matches_single_block(self, monkeypatch):
+        import tpu_pathtracer.ops.intersect as it
+        from tpu_pathtracer.scene.builtin import cornell_box
+        from tpu_pathtracer.scene.mesh import subdivide
+
+        geom = subdivide(cornell_box("quads"), 3).build()  # 2048 tris
+        key = jax.random.key(11)
+        ko, kd = jax.random.split(key)
+        o = jax.random.uniform(ko, (512, 3), minval=-2.0, maxval=2.0) \
+            + jnp.array([0.0, 2.75, 0.0])
+        d = jax.random.normal(kd, (512, 3))
+        d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+
+        ref = it.closest_hit(geom, o, d)          # single-block (T<=4096)
+        ref_occ = it.occluded(geom, o, d, jnp.full((512,), 3.0))
+        monkeypatch.setattr(it, "_TRI_BLOCK", 256)
+        blk = it.closest_hit(geom, o, d)
+        blk_occ = it.occluded(geom, o, d, jnp.full((512,), 3.0))
+        for f in ("valid", "prim", "n", "albedo", "emission"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(ref, f)), np.asarray(getattr(blk, f))
+            )
+        m = np.asarray(ref.valid)
+        np.testing.assert_allclose(
+            np.asarray(blk.t)[m], np.asarray(ref.t)[m], rtol=3e-7
+        )
+        np.testing.assert_array_equal(np.asarray(ref_occ),
+                                      np.asarray(blk_occ))

@@ -59,11 +59,13 @@ class CDFPack:
     # chained per-lane gathers (XLA per-lane gathers cost ~50x their
     # traffic; this is the guided-mode bottleneck, not the math).
     prim_table: jax.Array    # (N, 16)
-    # [conditional phi CDF(16) | pdf row(16)] per (prim, theta) row:
-    # the two tables the sampler needs AFTER choosing theta share the
-    # same prim*16+theta index, so one 32-wide row gather replaces two
-    # 16-wide ones (~0.1 ms each per bounce at 64k lanes).
-    theta_table: jax.Array   # (N*16, 32)
+    # [conditional phi CDF(16) | pdf row(16)] per (prim, UPPER theta)
+    # row: the two tables the sampler needs AFTER choosing theta share
+    # the same prim*8+theta index, so one 32-wide row fetch replaces
+    # two 16-wide ones. Only the 8 upper-hemisphere rows are stored —
+    # sampled theta_idx and the binned tb_idx both live in [0, 8), and
+    # halving the rows halves the one-hot fetch's streaming cost.
+    theta_table: jax.Array   # (N*8, 32)
 
 
 def build_cdfs(pdf: jax.Array) -> CDFPack:
@@ -111,8 +113,8 @@ def build_cdfs(pdf: jax.Array) -> CDFPack:
     )
     theta_table = jnp.concatenate(
         [
-            row_cdfs.reshape(n * GRID_RES, GRID_RES),
-            pdf.reshape(n * GRID_RES, GRID_RES),
+            cond.reshape(n * GRID_HALF_RES, GRID_RES),
+            upper.reshape(n * GRID_HALF_RES, GRID_RES),
         ],
         axis=1,
     )
@@ -240,7 +242,8 @@ def sample_grid(cdfs: CDFPack, prim, normal, xi1, xi2, jt, jp,
     theta_idx = _rank_cdf(marg, xi1)
     # ONE (B,)->(B,32) gather of the winning theta row: conditional phi
     # CDF + pdf row share the prim*16+theta index (see theta_table)
-    row32 = _fetch_rows(cdfs.theta_table, prim * GRID_RES + theta_idx)
+    row32 = _fetch_rows(cdfs.theta_table,
+                        prim * GRID_HALF_RES + theta_idx)
     phi_idx = _rank_cdf(row32[:, :GRID_RES], xi2)
 
     theta = (theta_idx.astype(jnp.float32) + jt) * GRID_INV_HALF_RES * (
@@ -295,7 +298,7 @@ def sample_grid_mis(cdfs: CDFPack, prim, normal, xi1, xi2, jt, jp, d_b):
 
     theta_idx = _rank_cdf(marg, xi1)
     row32 = _fetch_rows(cdfs.theta_table,
-                        prim * GRID_RES + theta_idx)       # (B, 32)
+                        prim * GRID_HALF_RES + theta_idx)  # (B, 32)
     phi_idx = _rank_cdf(row32[:, :GRID_RES], xi2)
 
     theta = (theta_idx.astype(jnp.float32) + jt) * GRID_INV_HALF_RES * (
@@ -316,7 +319,8 @@ def sample_grid_mis(cdfs: CDFPack, prim, normal, xi1, xi2, jt, jp, d_b):
     )
 
     val_g = _select16(row32[:, GRID_RES:], phi_idx)
-    row32_b = _fetch_rows(cdfs.theta_table, prim * GRID_RES + tb_idx)
+    row32_b = _fetch_rows(cdfs.theta_table,
+                          prim * GRID_HALF_RES + tb_idx)
     val_b = _select16(row32_b[:, GRID_RES:], pb_idx)
     pdf_gg = _cell_pdf_math(val_g, total, theta_idx)
     pdf_bg = jnp.where(

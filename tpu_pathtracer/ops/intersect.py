@@ -85,12 +85,72 @@ class Hit:
     material: jax.Array  # (B,) int32
 
 
+# All-pairs intermediates are (B, T); above this triangle count the
+# brute queries sweep T in blocks (running min / any) so memory stays
+# bounded — a 64k-ray batch against 32k triangles would otherwise
+# materialize a 24 GB (B, T, 3) and OOM at compile. Small scenes keep
+# the single-block path. The block combine's strict '<' preserves
+# argmin's first-min-wins tie-break, but values can differ from the
+# single-block path in the last ulp (XLA fuses the multiply-add chains
+# differently per compilation), so the equivalence is exact-structure /
+# ~1-ulp-t, not bitwise.
+_TRI_BLOCK = 4096
+
+
+@dataclass(frozen=True)
+class _GeomBlock:
+    """Duck-typed triangle block for intersect_tuv."""
+
+    tri_inv: jax.Array
+    tri_v0: jax.Array
+
+
+def _closest_tri_blocked(geom: Geometry, o, d, t_min):
+    """(t, tri_idx) closest over triangle blocks of _TRI_BLOCK."""
+    tpad = ((geom.tri_inv.shape[0] + _TRI_BLOCK - 1) // _TRI_BLOCK)
+    inv = jnp.concatenate([
+        geom.tri_inv,
+        jnp.zeros((tpad * _TRI_BLOCK - geom.tri_inv.shape[0], 3, 3)),
+    ])
+    v0 = jnp.concatenate([
+        geom.tri_v0,
+        jnp.zeros((tpad * _TRI_BLOCK - geom.tri_v0.shape[0], 3)),
+    ])
+
+    def block(carry, s):
+        t_cur, id_cur = carry
+        blk = _GeomBlock(
+            tri_inv=jax.lax.dynamic_slice_in_dim(inv, s, _TRI_BLOCK),
+            tri_v0=jax.lax.dynamic_slice_in_dim(v0, s, _TRI_BLOCK),
+        )
+        t_all = intersect_tuv(blk, o, d)
+        t_all = jnp.where(t_all >= t_min, t_all, jnp.inf)
+        idx = jnp.argmin(t_all, axis=-1)
+        t_blk = jnp.take_along_axis(t_all, idx[:, None], axis=-1)[:, 0]
+        better = t_blk < t_cur
+        return (
+            jnp.where(better, t_blk, t_cur),
+            jnp.where(better, idx + s, id_cur),
+        ), None
+
+    b = o.shape[0]
+    init = (jnp.full((b,), jnp.inf), jnp.zeros((b,), jnp.int32))
+    (t, tri_idx), _ = jax.lax.scan(
+        block, init,
+        jnp.arange(0, tpad * _TRI_BLOCK, _TRI_BLOCK, dtype=jnp.int32),
+    )
+    return t, tri_idx
+
+
 def closest_hit(geom: Geometry, o, d, t_min=1e-4, t_max=jnp.inf) -> Hit:
     """Closest-hit query for a ray batch (Scene::intersect semantics)."""
-    t_all = intersect_tuv(geom, o, d)
-    t_all = jnp.where(t_all >= t_min, t_all, jnp.inf)
-    tri_idx = jnp.argmin(t_all, axis=-1)
-    t = jnp.take_along_axis(t_all, tri_idx[:, None], axis=-1)[:, 0]
+    if geom.tri_inv.shape[0] > _TRI_BLOCK:
+        t, tri_idx = _closest_tri_blocked(geom, o, d, t_min)
+    else:
+        t_all = intersect_tuv(geom, o, d)
+        t_all = jnp.where(t_all >= t_min, t_all, jnp.inf)
+        tri_idx = jnp.argmin(t_all, axis=-1)
+        t = jnp.take_along_axis(t_all, tri_idx[:, None], axis=-1)[:, 0]
     valid = jnp.isfinite(t) & (t < t_max)
     prim = jnp.where(valid, geom.tri_prim[tri_idx], 0)
     p = o + t[:, None] * d
@@ -124,10 +184,42 @@ def occluded(
         max_dist: (B,) segment length.
         exclude_a, exclude_b: optional (B,) int32 primitive ids.
     """
+    t = geom.tri_inv.shape[0]
+    if t <= _TRI_BLOCK:
+        return _occluded_block(geom, geom.tri_prim, o, d, max_dist,
+                               exclude_a, exclude_b, eps)
+
+    tpad = ((t + _TRI_BLOCK - 1) // _TRI_BLOCK) * _TRI_BLOCK
+    inv = jnp.concatenate([geom.tri_inv,
+                           jnp.zeros((tpad - t, 3, 3))])
+    v0 = jnp.concatenate([geom.tri_v0, jnp.zeros((tpad - t, 3))])
+    prim = jnp.concatenate([
+        geom.tri_prim, jnp.full((tpad - t,), -1, geom.tri_prim.dtype)
+    ])
+
+    def block(any_hit, s):
+        blk = _GeomBlock(
+            tri_inv=jax.lax.dynamic_slice_in_dim(inv, s, _TRI_BLOCK),
+            tri_v0=jax.lax.dynamic_slice_in_dim(v0, s, _TRI_BLOCK),
+        )
+        pblk = jax.lax.dynamic_slice_in_dim(prim, s, _TRI_BLOCK)
+        return any_hit | _occluded_block(
+            blk, pblk, o, d, max_dist, exclude_a, exclude_b, eps
+        ), None
+
+    out, _ = jax.lax.scan(
+        block, jnp.zeros((o.shape[0],), bool),
+        jnp.arange(0, tpad, _TRI_BLOCK, dtype=jnp.int32),
+    )
+    return out
+
+
+def _occluded_block(geom, tri_prim, o, d, max_dist, exclude_a, exclude_b,
+                    eps):
     t_all = intersect_tuv(geom, o, d)  # (B, T)
     blocked = (t_all > eps) & (t_all < max_dist[:, None])
     if exclude_a is not None:
-        blocked &= geom.tri_prim[None, :] != exclude_a[:, None]
+        blocked &= tri_prim[None, :] != exclude_a[:, None]
     if exclude_b is not None:
-        blocked &= geom.tri_prim[None, :] != exclude_b[:, None]
+        blocked &= tri_prim[None, :] != exclude_b[:, None]
     return jnp.any(blocked, axis=-1)

@@ -356,9 +356,13 @@ def mc_form_factors(
     # Bound each device program's runtime: sustained single-program
     # executions beyond ~60s get killed by infrastructure watchdogs, so
     # the N^2 sweep is dispatched in groups of row chunks (same math,
-    # multiple launches).
-    budget_chunk_samples = 1024
-    chunks_per_call = max(1, budget_chunk_samples // max(n_samples, 1))
+    # multiple launches). The budget counts actual work — each row
+    # costs N columns x n_samples visibility rays x T triangle tests —
+    # so group size adapts to scene scale (the old sample-count-only
+    # budget let a sub-5 cbox call run ~80 s and trip the watchdog).
+    test_budget = 4.0e11   # ~20 s at the measured 21G pair-tests/s
+    per_chunk = rc * n * max(n_samples, 1) * max(geom.num_tris, 1)
+    chunks_per_call = max(1, int(test_budget / per_chunk))
     rows_per_call = chunks_per_call * rc
     if npad <= rows_per_call:
         ff, gc, gv = mc_form_factors_rows(
