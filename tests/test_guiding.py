@@ -159,3 +159,32 @@ class TestSampling:
         n = jnp.array([[0.0, 0.0, 1.0]])
         d = jnp.array([[0.0, 0.0, -1.0]])
         assert float(grid_pdf(pack, jnp.zeros(1, jnp.int32), d, n)[0]) == 0.0
+
+
+class TestFetchRows:
+    """_fetch_rows: the one-hot HIGHEST-precision matmul path (small
+    tables) must be bitwise identical to the XLA row gather it
+    replaces — bf16x3 splits each f32 into three bf16 terms that a
+    one-hot contraction sums back exactly."""
+
+    def test_onehot_bitwise_equals_gather(self):
+        import tpu_pathtracer.ops.guiding as g
+
+        key = jax.random.key(3)
+        # adversarial values: denormal-ish, huge, negative, exact ints
+        table = jax.random.uniform(key, (256, 32), minval=-1e6,
+                                   maxval=1e6)
+        table = table.at[0, 0].set(1.1754944e-38)
+        table = table.at[1, 1].set(3.4e38)
+        idx = jax.random.randint(jax.random.key(4), (4096,), 0, 256)
+        via_mm = g._fetch_rows(table, idx)
+        assert np.array_equal(np.asarray(via_mm),
+                              np.asarray(table[idx]))
+
+    def test_large_table_falls_back(self, monkeypatch):
+        import tpu_pathtracer.ops.guiding as g
+
+        table = jax.random.uniform(jax.random.key(5), (2048, 16))
+        idx = jax.random.randint(jax.random.key(6), (512,), 0, 2048)
+        out = g._fetch_rows(table, idx)   # > _ONEHOT_MAX_ROWS: gather
+        assert np.array_equal(np.asarray(out), np.asarray(table[idx]))
