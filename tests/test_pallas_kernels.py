@@ -262,3 +262,66 @@ class TestTileSwizzle:
         jax.clear_caches()
         b = render()
         np.testing.assert_array_equal(a, b)
+
+
+class TestGuideAugmentedPack:
+    """pack_attributes(guide_table=...): the hit kernel's one-hot
+    contraction must deliver exactly prim_table[hit.prim], and a guided
+    render through the augmented pack must be bitwise identical to the
+    fetch-in-integrator path."""
+
+    def test_guide_rows_match_table(self):
+        import jax
+
+        from tpu_pathtracer.core.math_utils import luminance
+        from tpu_pathtracer.ops.guiding import build_cdfs
+        from tpu_pathtracer.render.radiosity import solve_radiosity
+
+        geom = cornell_box("quads").build()
+        sol = solve_radiosity(geom, jax.random.key(1),
+                              num_iterations=4, mc_samples=8)
+        cdfs = build_cdfs(luminance(sol.rad_grid))
+        tp = ip.pack_triangles(geom)
+        ap = ip.pack_attributes(
+            geom, guide_table=np.asarray(cdfs.prim_table)
+        )
+        o, d = rays(1024, seed=3)
+        hit = ip.pallas_closest_hit(geom, tp, o, d, attr_pack=ap)
+        assert hit.guide is not None and hit.guide.shape == (1024, 16)
+        m = np.asarray(hit.valid)
+        want = np.asarray(cdfs.prim_table)[np.asarray(hit.prim)[m]]
+        np.testing.assert_array_equal(np.asarray(hit.guide)[m], want)
+
+    def test_guided_render_bitwise(self):
+        import jax
+
+        from tpu_pathtracer.core.constants import SAMPLING_MIS
+        from tpu_pathtracer.core.math_utils import luminance
+        from tpu_pathtracer.ops.guiding import build_cdfs
+        from tpu_pathtracer.render.radiosity import solve_radiosity
+        from tpu_pathtracer.render.renderer import (
+            ProgressiveRenderer,
+            RenderSettings,
+        )
+
+        geom = cornell_box("quads").build()
+        cam = CameraController.default().build()
+        sol = solve_radiosity(geom, jax.random.key(1),
+                              num_iterations=4, mc_samples=8)
+        cdfs = build_cdfs(luminance(sol.rad_grid))
+        s = RenderSettings(width=64, height=64, max_depth=3,
+                           spp_per_pass=2, ray_chunk=4096,
+                           wavefront=True, sampling_mode=SAMPLING_MIS)
+
+        def render(with_pack):
+            kw = {}
+            if with_pack:
+                kw = dict(tri_pack=ip.pack_triangles(geom),
+                          attr_pack=ip.pack_attributes(geom))
+            r = ProgressiveRenderer(geom, cam, s, cdfs=cdfs, **kw)
+            if with_pack:  # renderer must have auto-augmented the pack
+                assert r.attr_pack.shape[0] == 32
+            r.step()
+            return np.asarray(r.film.accum)
+
+        np.testing.assert_array_equal(render(True), render(False))

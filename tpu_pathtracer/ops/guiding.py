@@ -271,7 +271,8 @@ def grid_pdf(cdfs: CDFPack, prim, direction, normal):
     return jnp.where(theta > PI * 0.5, 0.0, pdf)
 
 
-def sample_grid_mis(cdfs: CDFPack, prim, normal, xi1, xi2, jt, jp, d_b):
+def sample_grid_mis(cdfs: CDFPack, prim, normal, xi1, xi2, jt, jp, d_b,
+                    row16=None):
     """Grid sample + this grid's PDF of a second (BSDF-sampled) world
     direction `d_b` — the two distribution queries one-sample MIS needs
     (integrator.h:112-166) — with gathers coalesced for the hot loop:
@@ -291,7 +292,8 @@ def sample_grid_mis(cdfs: CDFPack, prim, normal, xi1, xi2, jt, jp, d_b):
 
     Returns (d_g, pdf_gg, pdf_bg, g_valid).
     """
-    row16 = _fetch_rows(cdfs.prim_table, prim)            # (B, 16)
+    if row16 is None:
+        row16 = _fetch_rows(cdfs.prim_table, prim)        # (B, 16)
     marg = row16[:, :GRID_HALF_RES]
     total = row16[:, GRID_HALF_RES]
     g_valid = row16[:, GRID_HALF_RES + 1] > 0.0

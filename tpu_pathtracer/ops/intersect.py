@@ -83,6 +83,11 @@ class Hit:
     albedo: jax.Array  # (B, 3)
     emission: jax.Array  # (B, 3)
     material: jax.Array  # (B,) int32
+    # Optional (B, 16) guided-sampling row (CDFPack.prim_table of the
+    # hit primitive), emitted by the Pallas hit kernel's one-hot
+    # contraction when the attr pack carries a guide table — saves the
+    # guided integrator its per-lane prim_table fetch. None elsewhere.
+    guide: jax.Array | None = None
 
 
 # All-pairs intermediates are (B, T); above this triangle count the

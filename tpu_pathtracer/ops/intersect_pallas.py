@@ -67,21 +67,29 @@ def pack_triangles(geom: Geometry) -> jax.Array:
     return jnp.asarray(out)
 
 
-def pack_attributes(geom: Geometry) -> jax.Array:
+def pack_attributes(geom: Geometry, guide_table=None) -> jax.Array:
     """(16, Tpad) per-triangle shading attributes (transposed: attributes on
     sublanes, triangles on lanes), pre-dereferenced through tri_prim so the
     kernel needs no indirection:
     rows [nx ny nz | ar ag ab | er eg eb | material | prim_id | pad].
-    prim_id is exact in f32 for < 2^24 primitives."""
+    prim_id is exact in f32 for < 2^24 primitives.
+
+    With `guide_table` ((N, 16) — CDFPack.prim_table), the pack gains 16
+    more rows [16:32] carrying the hit primitive's guided-sampling row,
+    so the SAME one-hot contraction that selects shading attributes also
+    delivers the guided integrator's prim_table fetch for free."""
     prim = np.asarray(geom.tri_prim)
     t = prim.shape[0]
     tpad = _tri_pad(t)
-    out = np.zeros((ATTR_COLS, tpad), np.float32)
+    rows = ATTR_COLS if guide_table is None else 2 * ATTR_COLS
+    out = np.zeros((rows, tpad), np.float32)
     out[0:3, :t] = np.asarray(geom.normal)[prim].T
     out[3:6, :t] = np.asarray(geom.albedo)[prim].T
     out[6:9, :t] = np.asarray(geom.emission)[prim].T
     out[9, :t] = np.asarray(geom.material)[prim]
     out[10, :t] = prim
+    if guide_table is not None:
+        out[ATTR_COLS:, :t] = np.asarray(guide_table)[prim].T
     return jnp.asarray(out)
 
 
@@ -199,7 +207,7 @@ def _row_closest_full(tri_ref, attr_ref, n_chunks, t_min,
 
     t0 = jnp.full((1, RAY_TILE), jnp.inf)
     i0 = jnp.full((1, RAY_TILE), -1, jnp.int32)
-    a0 = jnp.zeros((ATTR_COLS, RAY_TILE), jnp.float32)
+    a0 = jnp.zeros((attr_ref.shape[0], RAY_TILE), jnp.float32)
     return jax.lax.fori_loop(0, n_chunks, chunk, (t0, i0, a0))
 
 
@@ -215,7 +223,13 @@ def _kernel_full(tri_ref, attr_ref, ox, oy, oz, dx, dy, dz, tmin_ref,
         )
         t_out[r:r + 1, :] = t_fin
         id_out[r:r + 1, :] = jnp.maximum(id_fin, 0)
-        attr_out[:, r, :] = attrs[:11, :]
+        if attr_out.shape[0] > 11:
+            # guide-augmented pack: emit attrs + the 16 guide rows
+            attr_out[:, r, :] = jnp.concatenate(
+                [attrs[:11, :], attrs[ATTR_COLS:, :]], axis=0
+            )
+        else:
+            attr_out[:, r, :] = attrs[:11, :]
 
 
 def _pad_rays(*arrays):
@@ -278,14 +292,16 @@ def pallas_closest_tuv(tri_pack: jax.Array, o, d, t_min=1e-4):
 @partial(jax.jit, static_argnames=())
 def pallas_closest_record(tri_pack, attr_pack, o, d, t_min=1e-4):
     """Full hit query: (t, tri_idx, attrs) with attrs (11, B) f32 rows
-    [nx ny nz ar ag ab er eg eb material prim]."""
+    [nx ny nz ar ag ab er eg eb material prim] — or (27, B) with the 16
+    guided-sampling rows appended when attr_pack is guide-augmented."""
     (o, d), b0 = _pad_rays(o, d)
     b = o.shape[0]
     rows = b // RAY_TILE
+    n_attr = 11 if attr_pack.shape[0] <= ATTR_COLS else 27
 
     ray_spec = _ray_spec()
     attr_spec = pl.BlockSpec(
-        (11, ROWS_PER_STEP, RAY_TILE), lambda i: (0, i, 0),
+        (n_attr, ROWS_PER_STEP, RAY_TILE), lambda i: (0, i, 0),
         memory_space=pltpu.VMEM,
     )
     t, idx, attrs = pl.pallas_call(
@@ -301,7 +317,7 @@ def pallas_closest_record(tri_pack, attr_pack, o, d, t_min=1e-4):
         out_shape=[
             jax.ShapeDtypeStruct((rows, RAY_TILE), jnp.float32),
             jax.ShapeDtypeStruct((rows, RAY_TILE), jnp.int32),
-            jax.ShapeDtypeStruct((11, rows, RAY_TILE), jnp.float32),
+            jax.ShapeDtypeStruct((n_attr, rows, RAY_TILE), jnp.float32),
         ],
     )(
         tri_pack, attr_pack, *_ray_comps(o, d, rows),
@@ -310,7 +326,7 @@ def pallas_closest_record(tri_pack, attr_pack, o, d, t_min=1e-4):
     return (
         t.reshape(b)[:b0],
         idx.reshape(b)[:b0],
-        attrs.reshape(11, b)[:, :b0],
+        attrs.reshape(n_attr, b)[:, :b0],
     )
 
 
@@ -338,6 +354,7 @@ def pallas_closest_hit(geom: Geometry, tri_pack, o, d, t_min=1e-4,
             albedo=attrs[3:6].T,
             emission=attrs[6:9].T,
             material=attrs[9].astype(jnp.int32),
+            guide=attrs[11:27].T if attrs.shape[0] > 11 else None,
         )
 
     t, tri_idx = pallas_closest_tuv(tri_pack, o, d, t_min)

@@ -76,12 +76,14 @@ def _sample_bsdf(sn, u, v):
     return d, jnp.ones(sn.shape[:-1], sn.dtype)
 
 
-def _sample_pure_grid(cdfs, prim, sn, draws):
+def _sample_pure_grid(cdfs, prim, sn, draws, row16=None):
     """Pure grid-guided sampling with the cos/(pi*pdf) reweighting and
     firefly clamp (integrator.h:244-257). Returns (dir, weight, valid)
     with the grid-validity flag coming out of the same prim_table fetch
-    the sampler uses (one gather, not two)."""
-    row16 = fetch_rows(cdfs.prim_table, prim)
+    the sampler uses (one fetch, not two). `row16` may arrive
+    pre-selected from the Pallas hit kernel (Hit.guide)."""
+    if row16 is None:
+        row16 = fetch_rows(cdfs.prim_table, prim)
     d, pdf = sample_grid(
         cdfs, prim, sn, draws[:, 0], draws[:, 1], draws[:, 2], draws[:, 3],
         row16=row16,
@@ -91,10 +93,11 @@ def _sample_pure_grid(cdfs, prim, sn, draws):
     return d, jnp.clip(w, 0.0, FIREFLY_CLAMP), row16[:, 9] > 0.0
 
 
-def _sample_mis(cdfs, prim, sn, draws, bsdf_prob):
+def _sample_mis(cdfs, prim, sn, draws, bsdf_prob, row16=None):
     """One-sample MIS with power heuristic (integrator.h:112-166).
     Returns (dir, weight, valid). Both distribution queries go through
-    guiding.sample_grid_mis, which coalesces the per-lane gathers."""
+    guiding.sample_grid_mis, which coalesces the per-lane fetches;
+    `row16` may arrive pre-selected from the Pallas hit kernel."""
     p_b = jnp.clip(bsdf_prob, 0.01, 0.99)
     p_g = 1.0 - p_b
     use_bsdf = draws[:, 5] < p_b
@@ -106,7 +109,7 @@ def _sample_mis(cdfs, prim, sn, draws, bsdf_prob):
 
     d_g, pdf_gg, pdf_bg, g_valid = sample_grid_mis(
         cdfs, prim, sn, draws[:, 0], draws[:, 1], draws[:, 2], draws[:, 3],
-        d_b,
+        d_b, row16=row16,
     )
     w_b = power_heuristic(pdf_bb, pdf_bg) / p_b
     w_b = jnp.where(pdf_bb > 1e-6, w_b, 0.0)
@@ -164,11 +167,11 @@ def _shade(hit, d, beta, live, draws, mode, cdfs, mis_frac, do_rr):
     else:
         if mode == SAMPLING_MIS:
             nd_g, w_g, g_valid = _sample_mis(
-                cdfs, hit.prim, sn, draws, mis_frac
+                cdfs, hit.prim, sn, draws, mis_frac, row16=hit.guide
             )
         else:
             nd_g, w_g, g_valid = _sample_pure_grid(
-                cdfs, hit.prim, sn, draws
+                cdfs, hit.prim, sn, draws, row16=hit.guide
             )
         nd_c, w_c = _sample_bsdf(sn, draws[:, 0], draws[:, 1])
         nd = jnp.where(g_valid[:, None], nd_g, nd_c)
@@ -290,11 +293,12 @@ def trace(
         else:
             if mode == SAMPLING_MIS:
                 nd_g, w_g, g_valid = _sample_mis(
-                    cdfs, hit.prim, sn, draws, mis_frac
+                    cdfs, hit.prim, sn, draws, mis_frac,
+                    row16=hit.guide,
                 )
             else:
                 nd_g, w_g, g_valid = _sample_pure_grid(
-                    cdfs, hit.prim, sn, draws
+                    cdfs, hit.prim, sn, draws, row16=hit.guide
                 )
             nd_c, w_c = _sample_bsdf(sn, draws[:, 0], draws[:, 1])
             nd = jnp.where(g_valid[:, None], nd_g, nd_c)

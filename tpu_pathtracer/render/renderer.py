@@ -301,6 +301,21 @@ class ProgressiveRenderer:
         self.geom = geom
         self.bvh = bvh
         self.tri_pack = tri_pack
+        if (
+            cdfs is not None
+            and attr_pack is not None
+            and settings.sampling_mode != SAMPLING_BSDF
+            and attr_pack.shape[0] == 16
+        ):
+            # Guided mode on the Pallas backend: rebuild the attr pack
+            # with the CDF prim_table rows appended so the hit kernel's
+            # one-hot contraction also delivers each lane's guided-
+            # sampling row (saves the integrator's per-lane fetch).
+            from ..ops.intersect_pallas import pack_attributes
+
+            attr_pack = pack_attributes(
+                geom, guide_table=np.asarray(cdfs.prim_table)
+            )
         self.attr_pack = attr_pack
         self.culled = culled
         self.camera = camera
