@@ -168,6 +168,15 @@ def _cell_pdf_math(cell, total_weight, theta_idx):
     return jnp.where(cell < 1e-8, 1e-6, val)
 
 
+# cos(k*pi/16), k=1..7: the theta-bin UPPER edges as cosines. For a
+# local direction with z = cos(theta), bin(theta) = #{k : z <= edge_k}
+# — '<=' so an exactly-on-edge z lands in the same bin as
+# floor(acos(z)*16/pi) does (acos is exact on cos(k*pi/16) in reals).
+COS_THETA_EDGES = jnp.asarray(
+    [math.cos(k * math.pi / 16.0) for k in range(1, GRID_HALF_RES)],
+    jnp.float32,
+)
+
 _ONEHOT_MAX_ROWS = 1024
 # Per-lane table-row fetch ladder, measured at B=64k on v5e:
 #   single-element gather  ~0.93 ms          (serial per-lane fusion)
@@ -272,7 +281,7 @@ def grid_pdf(cdfs: CDFPack, prim, direction, normal):
 
 
 def sample_grid_mis(cdfs: CDFPack, prim, normal, xi1, xi2, jt, jp, d_b,
-                    row16=None):
+                    row16=None, d_b_bins=None):
     """Grid sample + this grid's PDF of a second (BSDF-sampled) world
     direction `d_b` — the two distribution queries one-sample MIS needs
     (integrator.h:112-166) — with gathers coalesced for the hot loop:
@@ -310,15 +319,25 @@ def sample_grid_mis(cdfs: CDFPack, prim, normal, xi1, xi2, jt, jp, d_b,
     phi = (phi_idx.astype(jnp.float32) + jp) * GRID_INV_RES * TWO_PI
     d_g = from_local(spherical_to_local(theta, phi), normal)
 
-    # d_b's cell under this grid (grid.h:200-216)
-    tb, pb = world_to_spherical(d_b, normal)
-    tb_idx = jnp.clip(
-        (tb * (2.0 / PI) * GRID_HALF_RES).astype(jnp.int32),
-        0, GRID_HALF_RES - 1,
-    )
-    pb_idx = jnp.clip(
-        (pb * (0.5 / PI) * GRID_RES).astype(jnp.int32), 0, GRID_RES - 1
-    )
+    # d_b's cell under this grid (grid.h:200-216). When the caller
+    # sampled d_b itself in the SAME Frisvad frame (the integrator's
+    # Malley cosine draw), it passes the bins directly (d_b_bins =
+    # (tb_idx, pb_idx, below_horizon)) — the local angles are known
+    # analytically from the uniforms, so the to_local + acos + atan2
+    # round-trip the generic path needs here disappears.
+    if d_b_bins is None:
+        tb, pb = world_to_spherical(d_b, normal)
+        tb_idx = jnp.clip(
+            (tb * (2.0 / PI) * GRID_HALF_RES).astype(jnp.int32),
+            0, GRID_HALF_RES - 1,
+        )
+        pb_idx = jnp.clip(
+            (pb * (0.5 / PI) * GRID_RES).astype(jnp.int32),
+            0, GRID_RES - 1,
+        )
+        below = tb > PI * 0.5
+    else:
+        tb_idx, pb_idx, below = d_b_bins
 
     val_g = _select16(row32[:, GRID_RES:], phi_idx)
     row32_b = _fetch_rows(cdfs.theta_table,
@@ -326,6 +345,6 @@ def sample_grid_mis(cdfs: CDFPack, prim, normal, xi1, xi2, jt, jp, d_b,
     val_b = _select16(row32_b[:, GRID_RES:], pb_idx)
     pdf_gg = _cell_pdf_math(val_g, total, theta_idx)
     pdf_bg = jnp.where(
-        tb > PI * 0.5, 0.0, _cell_pdf_math(val_b, total, tb_idx)
+        below, 0.0, _cell_pdf_math(val_b, total, tb_idx)
     )
     return d_g, pdf_gg, pdf_bg, g_valid

@@ -58,6 +58,8 @@ from ..ops.bvh import BVH, bvh_closest_hit
 from ..ops.intersect_pallas import pallas_closest_hit
 from ..ops.guiding import (
     CDFPack,
+    COS_THETA_EDGES,
+    GRID_RES,
     _fetch_rows as fetch_rows,
     sample_grid,
     sample_grid_mis,
@@ -102,14 +104,26 @@ def _sample_mis(cdfs, prim, sn, draws, bsdf_prob, row16=None):
     p_g = 1.0 - p_b
     use_bsdf = draws[:, 5] < p_b
 
-    # BSDF branch direction
-    d_b, _ = cosine_sample_hemisphere(sn, draws[:, 0], draws[:, 1])
+    # BSDF branch direction. Malley's construction fixes d_b's LOCAL
+    # angles analytically (z = sqrt(1-u), phi = 2*pi*v in the same
+    # Frisvad frame the grid uses), so its grid cell comes from seven
+    # compares + a floor instead of the to_local + acos + atan2
+    # round-trip world_to_spherical would pay.
+    u, v = draws[:, 0], draws[:, 1]
+    d_b, _ = cosine_sample_hemisphere(sn, u, v)
     cos_b = jnp.maximum(dot(d_b, sn), 0.0)
     pdf_bb = cos_b / PI
+    z_b = jnp.sqrt(jnp.maximum(0.0, 1.0 - u))
+    tb_idx = jnp.sum(
+        (z_b[:, None] <= COS_THETA_EDGES[None, :]).astype(jnp.int32),
+        axis=1,
+    )
+    pb_idx = jnp.clip((v * GRID_RES).astype(jnp.int32), 0, GRID_RES - 1)
+    below = jnp.zeros_like(tb_idx, bool)   # z_b >= 0 by construction
 
     d_g, pdf_gg, pdf_bg, g_valid = sample_grid_mis(
         cdfs, prim, sn, draws[:, 0], draws[:, 1], draws[:, 2], draws[:, 3],
-        d_b, row16=row16,
+        d_b, row16=row16, d_b_bins=(tb_idx, pb_idx, below),
     )
     w_b = power_heuristic(pdf_bb, pdf_bg) / p_b
     w_b = jnp.where(pdf_bb > 1e-6, w_b, 0.0)
