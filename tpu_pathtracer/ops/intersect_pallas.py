@@ -1126,18 +1126,36 @@ def _kernel_culled_dma(count_ref, key_ref, lostep_ref, tri_hbm,
         jnp.int32, (DMA_ROWS, 1), 0
     ).astype(jnp.float32)                         # (8, 1): 1, 2, ... 128
 
+    def sched_rbits(k):
+        return (sched[k] >> _BITS_SHIFT) & ((1 << DMA_ROWS) - 1)
+
     def body(k, carry):
-        t_cur, id_cur, open_bits = carry          # (8,128), (8,128), i32
+        # started: whether cluster k's DMA was actually issued — once
+        # every row a cluster touches has closed (open_bits is
+        # monotone-shrinking), its 8KB stream AND the ~1us wait are
+        # skipped, not just the row compute. The skip decision at issue
+        # time uses an older (superset) open_bits, so a skipped cluster
+        # provably has eff == 0 when its turn comes.
+        t_cur, id_cur, open_bits, started = carry
         slot = jax.lax.rem(k, 2)
 
-        @pl.when(k + 1 < n_active)
-        def _():
-            get_dma(jax.lax.rem(k + 1, 2), k + 1).start()
+        nxt = jnp.minimum(k + 1, cpad - 1)
+        start_next = (k + 1 < n_active) & (
+            (sched_rbits(nxt) & open_bits) != 0
+        )
 
-        get_dma(slot, k).wait()
+        @pl.when(start_next)
+        def _():
+            get_dma(jax.lax.rem(k + 1, 2), nxt).start()
+
+        @pl.when(started != 0)
+        def _():
+            get_dma(slot, k).wait()
         key = sched[k]
         cid = key & (_MAX_CLUSTERS - 1)
-        rbits = (key >> _BITS_SHIFT) & ((1 << DMA_ROWS) - 1)
+        rbits = jnp.where(
+            started != 0, (key >> _BITS_SHIFT) & ((1 << DMA_ROWS) - 1), 0
+        )
 
         # Front-to-back early-out, refreshed every _EARLY_BLOCK clusters:
         # the schedule is sorted by (quantized) tile-min ray entry
@@ -1265,7 +1283,9 @@ def _kernel_culled_dma(count_ref, key_ref, lostep_ref, tri_hbm,
         t_cur, id_cur = jax.lax.cond(
             eff > 0, cluster_compute, lambda c: c, (t_cur, id_cur)
         )
-        return k + 1, t_cur, id_cur, open_bits
+        return k + 1, t_cur, id_cur, open_bits, start_next.astype(
+            jnp.int32
+        )
 
     t0 = jnp.full((DMA_ROWS, RAY_TILE), jnp.inf)
     i0 = jnp.full((DMA_ROWS, RAY_TILE), -1, jnp.int32)
@@ -1274,16 +1294,17 @@ def _kernel_culled_dma(count_ref, key_ref, lostep_ref, tri_hbm,
     # waits, no more schedule walking. On coherent primary tiles this
     # terminates after a small front-to-back prefix of the schedule.
     def cond(carry):
-        k, _, _, open_bits = carry
+        k, _, _, open_bits, _ = carry
         return (k < n_active) & (open_bits != 0)
 
-    k_fin, t_fin, id_fin, _ = jax.lax.while_loop(
+    k_fin, t_fin, id_fin, _, fin_started = jax.lax.while_loop(
         cond, lambda c: body(c[0], c[1:]),
-        (jnp.int32(0), t0, i0, jnp.int32((1 << DMA_ROWS) - 1)),
+        (jnp.int32(0), t0, i0, jnp.int32((1 << DMA_ROWS) - 1),
+         (n_active > 0).astype(jnp.int32)),
     )
     # a prefetch for cluster k_fin may still be in flight on early exit;
-    # retire it before the kernel ends
-    @pl.when((k_fin > 0) & (k_fin < n_active))
+    # retire it before the kernel ends (only if it was actually issued)
+    @pl.when((k_fin > 0) & (k_fin < n_active) & (fin_started != 0))
     def _():
         get_dma(jax.lax.rem(k_fin, 2), k_fin).wait()
 
