@@ -178,6 +178,10 @@ COS_THETA_EDGES = jnp.asarray(
 )
 
 _ONEHOT_MAX_ROWS = 1024
+# The (B, R) one-hot is a real f32 XLA intermediate; past ~64 MB it enters
+# the >100 MB territory CLAUDE.md documents as hanging the remote compiler
+# (e.g. 64k lanes x 1024 rows = 256 MB). Gate on bytes, not rows alone.
+_ONEHOT_MAX_BYTES = 64 * 1024 * 1024
 # Per-lane table-row fetch ladder, measured at B=64k on v5e:
 #   single-element gather  ~0.93 ms          (serial per-lane fusion)
 #   (B,)->(B,16/32) gather ~0.10 ms          (row-count independent)
@@ -194,7 +198,7 @@ _ONEHOT_MAX_ROWS = 1024
 def _fetch_rows(table, idx):
     """table (R, C), idx (B,) int32 -> (B, C), bitwise == table[idx]."""
     r = table.shape[0]
-    if r <= _ONEHOT_MAX_ROWS:
+    if r <= _ONEHOT_MAX_ROWS and r * idx.size * 4 <= _ONEHOT_MAX_BYTES:
         onehot = (
             idx[:, None] == jnp.arange(r, dtype=idx.dtype)[None, :]
         ).astype(jnp.float32)
@@ -297,7 +301,12 @@ def sample_grid_mis(cdfs: CDFPack, prim, normal, xi1, xi2, jt, jp, d_b,
     vs the 7 chained per-lane gathers of the naive composition
     (sample_grid + grid_pdf + valid); this path was measured 9x slower
     than BSDF sampling before coalescing. Bitwise-identical values to
-    sample_grid/grid_pdf.
+    sample_grid/grid_pdf for the generic (d_b_bins=None) path; the
+    analytic-bin path derives d_b's cell from the pre-transform uniforms
+    (z=sqrt(1-u)) while grid_pdf goes through from_local/normalize +
+    acos/atan2, so lanes landing exactly on a bin edge can round into
+    the adjacent cell — agreement is up to bin-edge rounding of that
+    frame round-trip, not bitwise.
 
     Returns (d_g, pdf_gg, pdf_bg, g_valid).
     """

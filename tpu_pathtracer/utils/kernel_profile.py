@@ -184,8 +184,16 @@ def kernel_profile_traced(step_fn, *args, log_dir=None) -> dict:
         )
         dur = e.get("dur", 0.0) / 1e6
         seconds[phase] = seconds.get(phase, 0.0) + dur
-        s, c, calls = per_op.get(name, (0.0, 0, []))
-        per_op[name] = (s + dur, c + 1, calls + [dur])
+        ent = per_op.get(name)
+        if ent is None:
+            ent = [0.0, 0, []]
+            per_op[name] = ent
+        ent[0] += dur
+        ent[1] += 1
+        # the report only shows the first 32 per-call durations — cap the
+        # list so huge traces don't accumulate O(n) floats per op
+        if len(ent[2]) < 32:
+            ent[2].append(dur)
         n_ops += 1
     total = sum(seconds.values()) or 1.0
     top = sorted(per_op.items(), key=lambda kv: -kv[1][0])[:15]
