@@ -251,15 +251,64 @@ def run_pt(spp: int, ref_spp: int, depth: int):
                          "is MC variance, not estimator bias"})
 
 
+def downsample(img_u8: np.ndarray, k: int = 8) -> np.ndarray:
+    h, w, c = img_u8.shape
+    h2, w2 = (h // k) * k, (w // k) * k
+    x = img_u8[:h2, :w2].astype(np.float64)
+    return x.reshape(h2 // k, k, w2 // k, k, c).mean((1, 3))
+
+
+def run_pt_downsampled(k: int = 8):
+    """VERDICT round-2 item 5: full-frame comparison at kx box-downsampled
+    resolution, where MC noise averages out (~1/k per axis) and estimator
+    BIAS survives. Uses the saved renders from `pt` (same camera/settings):
+      cross = ref 23spp  vs our 256spp   (bias + both noises)
+      yard  = our 23spp  vs our 256spp   (pure noise at the same spp)
+    bias_bound = sqrt(max(cross^2 - yard^2, 0)) — the estimator-difference
+    residual covering ~100% of the frame (no edge mask)."""
+    ref = load_ref_png("cbox_pt_23.png").astype(np.float64)
+    ours_conv = np.asarray(
+        _open_ours("cbox_pt_256.png"), np.float64)
+    ours_23 = np.asarray(_open_ours("cbox_pt_23.png"), np.float64)
+
+    def rel_rmse(a, b):
+        d = downsample(a.astype(np.uint8), k) - downsample(
+            b.astype(np.uint8), k)
+        return float(np.sqrt((d ** 2).mean())) / 255.0
+
+    cross = rel_rmse(ref, ours_conv)
+    yard = rel_rmse(ours_23, ours_conv)
+    bias = float(np.sqrt(max(cross ** 2 - yard ** 2, 0.0)))
+    save_result(f"pt/downsampled_{k}x", {
+        "cross_rel_rmse": round(cross, 5),
+        "noise_yardstick_rel_rmse": round(yard, 5),
+        "bias_bound_rel_rmse": round(bias, 5),
+        "frame_coverage": 1.0,
+        "note": f"{k}x box-downsampled full-frame; cross = ref23 vs "
+                f"our256, yardstick = our23 vs our256 (same-spp noise); "
+                f"bias_bound = sqrt(cross^2 - yard^2)",
+    })
+
+
+def _open_ours(name: str):
+    from PIL import Image
+
+    return np.asarray(
+        Image.open(os.path.join(OUT_DIR, name)).convert("RGB"))
+
+
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("which", choices=["radiosity", "radiosity4", "pt"])
+    p.add_argument("which", choices=["radiosity", "radiosity4", "pt",
+                                     "pt_downsampled"])
     p.add_argument("--spp", type=int, default=0)
     p.add_argument("--ref-spp", type=int, default=23)
     p.add_argument("--depth", type=int, default=5)
     p.add_argument("--yardstick", action="store_true")
     args = p.parse_args()
-    if args.which == "radiosity":
+    if args.which == "pt_downsampled":
+        run_pt_downsampled()
+    elif args.which == "radiosity":
         run_radiosity(subs=(0, 1, 2, 3), steps=(5,), spp=args.spp or 16,
                       yardstick=args.yardstick)
     elif args.which == "radiosity4":

@@ -89,24 +89,20 @@ def erode(mask: np.ndarray, it: int = 2) -> np.ndarray:
     return m
 
 
-def extract_ref_b(ref_u8: np.ndarray, ids: np.ndarray, n: int,
-                  emission: np.ndarray):
-    """Per-prim displayed value from the PNG, gamma-inverted, Le removed.
+def extract_ref_med(ref_u8: np.ndarray, ids: np.ndarray, n: int):
+    """Per-prim median displayed u8 color from the PNG.
 
-    Returns (b_ref (N,3), ok (N,3) bool, npix (N,))."""
-    b = np.full((n, 3), np.nan, np.float64)
-    ok = np.zeros((n, 3), bool)
+    Returns (med (N,3) float, npix (N,)); med is NaN where the prim has
+    fewer than 25 interior pixels."""
+    med = np.full((n, 3), np.nan, np.float64)
     npx = np.zeros((n,), np.int64)
     for i in range(n):
         m = erode(ids == i, 2)
         npx[i] = int(m.sum())
         if npx[i] < 25:
             continue
-        med = np.median(ref_u8[m].astype(np.float64), axis=0)
-        val = (med / 255.99) ** 2          # = min(Le + B, 1)
-        ok[i] = med < 253.0                # clamp excluded
-        b[i] = val - emission[i]
-    return b, ok, npx
+        med[i] = np.median(ref_u8[m].astype(np.float64), axis=0)
+    return med, npx
 
 
 def summarize(tag, b_ours, b_ref, ok):
@@ -212,11 +208,17 @@ def _displays(emission):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sub", type=int, default=0)
-    ap.add_argument("--step", type=int, default=5)
+    ap.add_argument("--steps", default="5",
+                    help="comma list of refinement steps to compare")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--variants", action="store_true")
+    ap.add_argument("--only", default=None,
+                    help="comma list of estimators (mc64,mc64b,analytic,"
+                         "per_sample) to compute; default all basic")
     ap.add_argument("--mc-samples", type=int, default=64)
     args = ap.parse_args()
+    steps = [int(s) for s in args.steps.split(",")]
+    only = set(args.only.split(",")) if args.only else None
 
     import jax
 
@@ -239,46 +241,51 @@ def main():
     n = geom.num_prims
     emission = np.asarray(geom.emission, np.float64)
     ids = prim_id_map(geom)
-    ref = load_ref_png(f"cbox_sub{args.sub}_step{args.step}.png")
-    b_ref, ok, npx = extract_ref_b(ref, ids, n, emission)
 
     packs = None
     if not args.cpu:
         packs = (pack_triangles(geom), pack_prim_ids(geom))
 
-    def solve_from_ff(ff, steps):
+    def solve_from_ff(ff, nsteps):
         rad = geom.emission
         unshot = geom.emission
-        for _ in range(steps):
+        for _ in range(nsteps):
             rad, unshot = radiosity_step(geom, ff, rad, unshot)
         return np.asarray(rad)
 
-    out = {"n_prims": n, "extracted_prims": int((npx >= 25).sum())}
+    # FF matrices once per estimator; any step derives from them.
+    def want(tag):
+        return only is None or tag in only
 
-    candidates = {}
-    sol = solve_radiosity(geom, jax.random.key(12345),
-                          num_iterations=args.step,
-                          mc_samples=args.mc_samples,
-                          occlusion_packs=packs)
-    candidates["mc64"] = np.asarray(sol.radiosity)
-    sol_b = solve_radiosity(geom, jax.random.key(99991),
-                            num_iterations=args.step,
-                            mc_samples=args.mc_samples,
-                            occlusion_packs=packs)
-    candidates["mc64b"] = np.asarray(sol_b.radiosity)
-    ff_an = analytic_form_factors(geom, occlusion_packs=packs)
-    candidates["analytic"] = solve_from_ff(ff_an, args.step)
-
-    if args.variants:
-        # iteration-count neighbours: is "stepM" really M iterations?
-        ff_mc = sol.form_factors
-        candidates["mc64_iters+1"] = solve_from_ff(ff_mc, args.step + 1)
-        candidates["mc64_iters-1"] = solve_from_ff(
-            ff_mc, max(args.step - 1, 0)
-        )
-        candidates["analytic_iters+1"] = solve_from_ff(
-            ff_an, args.step + 1
-        )
+    ffs = {}
+    ff_cache = os.path.join(HERE, f"forensics_ff_sub{args.sub}.npz")
+    cached = {}
+    if os.path.exists(ff_cache):
+        cached = dict(np.load(ff_cache))
+    if want("mc64"):
+        if "mc64" in cached:
+            ffs["mc64"] = cached["mc64"]
+        else:
+            sol = solve_radiosity(geom, jax.random.key(12345),
+                                  num_iterations=1,
+                                  mc_samples=args.mc_samples,
+                                  occlusion_packs=packs)
+            ffs["mc64"] = sol.form_factors
+    if want("mc64b"):
+        if "mc64b" in cached:
+            ffs["mc64b"] = cached["mc64b"]
+        else:
+            sol_b = solve_radiosity(geom, jax.random.key(99991),
+                                    num_iterations=1,
+                                    mc_samples=args.mc_samples,
+                                    occlusion_packs=packs)
+            ffs["mc64b"] = sol_b.form_factors
+    if want("analytic"):
+        ffs["analytic"] = cached.get("analytic")
+        if ffs["analytic"] is None:
+            ffs["analytic"] = analytic_form_factors(
+                geom, occlusion_packs=packs)
+    if args.variants and want("per_sample"):
         # per-sample (unbiased double-area) estimator:
         # F = A_j/pi * mean_s[vis * ci * cj / d^2], clamped [0,1].
         # The current reference kernel uses ratio-of-averages
@@ -286,47 +293,88 @@ def main():
         # it — for ADJACENT large patches the per-sample integrand is
         # ~1/d^2 singular and the clamp bites, making everything
         # brighter at low subdivision.
-        ff_ps = per_sample_ff(geom, jax.random.key(12345),
-                              args.mc_samples, packs)
-        candidates["per_sample"] = solve_from_ff(ff_ps, args.step)
-        candidates["per_sample_i10"] = solve_from_ff(ff_ps, 10)
-
-    for tag, b in candidates.items():
-        out[tag] = summarize(tag, b, b_ref, ok)
-    # noise yardstick between our own two MC streams
-    sel = ok & np.isfinite(b_ref)
-    d = (candidates["mc64"].astype(np.float64)
-         - candidates["mc64b"].astype(np.float64))[sel]
-    r = b_ref[sel]
-    out["mc_self_noise"] = round(
-        float(np.sqrt((d ** 2).mean())
-              / max(np.sqrt((r ** 2).mean()), 1e-12)), 5)
-
-    if n <= 64:
-        tab = []
-        for i in range(n):
-            if npx[i] < 25:
-                continue
-            tab.append({
-                "prim": i,
-                "ref_B": [round(float(x), 4) for x in b_ref[i]],
-                "mc64_B": [round(float(x), 4)
-                           for x in candidates["mc64"][i]],
-                "analytic_B": [round(float(x), 4)
-                               for x in candidates["analytic"][i]],
-                "clamped": [bool(not x) for x in ok[i]],
-            })
-        out["per_prim"] = tab
+        if "per_sample" in cached:
+            ffs["per_sample"] = cached["per_sample"]
+        else:
+            ffs["per_sample"] = per_sample_ff(
+                geom, jax.random.key(12345), args.mc_samples, packs)
+    cached.update({k: np.asarray(v) for k, v in ffs.items()})
+    np.savez(ff_cache, **cached)
 
     data = {}
     if os.path.exists(RESULT):
         with open(RESULT) as f:
             data = json.load(f)
-    data[f"sub{args.sub}_step{args.step}"] = out
+
+    disp = _displays(emission)
+    for step in steps:
+        try:
+            ref = load_ref_png(f"cbox_sub{args.sub}_step{step}.png")
+        except FileNotFoundError:
+            continue
+        ref_med, npx = extract_ref_med(ref, ids, n)
+        sel = np.isfinite(ref_med).all(-1)
+        out = {"n_prims": n, "extracted_prims": int((npx >= 25).sum())}
+
+        candidates = {tag: solve_from_ff(ff, step)
+                      for tag, ff in ffs.items()}
+        # Compare every (candidate, display) pair against the
+        # reference's per-prim u8 medians IN DISPLAY SPACE (u8 RMSE
+        # over extracted prims) — no inversion instability at the clamp.
+        grid = {}
+        for tag, b in candidates.items():
+            for dname, dfn in disp.items():
+                pred = dfn(np.asarray(b, np.float64))
+                dd = (pred - ref_med)[sel]
+                grid[f"{tag}/{dname}"] = round(
+                    float(np.sqrt((dd ** 2).mean())), 2)
+        out["u8_rmse"] = dict(sorted(grid.items(), key=lambda kv: kv[1]))
+        # Whole-image interior rel-RMSE via the id-map flat render —
+        # immune to per-prim mask/median pathologies, comparable to the
+        # eval_vs_reference numbers.
+        from eval_vs_reference import compare as img_compare
+
+        img_grid = {}
+        for tag, b in candidates.items():
+            for dname, dfn in disp.items():
+                flat = np.where(
+                    ids[..., None] >= 0,
+                    dfn(np.asarray(b, np.float64))[np.maximum(ids, 0)],
+                    0.0)
+                img = np.clip(flat, 0, 255).astype(np.uint8)
+                img_grid[f"{tag}/{dname}"] = img_compare(
+                    img, ref)["interior_rel_rmse"]
+        out["img_interior_rel_rmse"] = dict(
+            sorted(img_grid.items(), key=lambda kv: kv[1]))
+        best_disp = min(disp.items(),
+                        key=lambda kv: grid[f"mc64/{kv[0]}"])
+        dfn = best_disp[1]
+        dd = (dfn(candidates["mc64"].astype(np.float64))
+              - dfn(candidates["mc64b"].astype(np.float64)))[sel]
+        out["mc_self_noise_u8"] = round(
+            float(np.sqrt((dd ** 2).mean())), 2)
+
+        if n <= 64:
+            tab = []
+            for i in range(n):
+                if npx[i] < 25:
+                    continue
+                row = {"prim": i,
+                       "ref_u8": [round(float(x), 1) for x in ref_med[i]]}
+                for tag in ("mc64", "analytic", "per_sample"):
+                    if tag in candidates:
+                        row[tag + "_B"] = [round(float(x), 4)
+                                           for x in candidates[tag][i]]
+                tab.append(row)
+            out["per_prim"] = tab
+
+        data[f"sub{args.sub}_step{step}"] = out
+        print(f"--- sub{args.sub} step{step} ---")
+        print(json.dumps({k: v for k, v in out.items()
+                          if k != "per_prim"}, indent=1))
+
     with open(RESULT, "w") as f:
         json.dump(data, f, indent=1)
-    print(json.dumps({k: v for k, v in out.items() if k != "per_prim"},
-                     indent=1))
 
 
 if __name__ == "__main__":
