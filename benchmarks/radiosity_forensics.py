@@ -55,7 +55,9 @@ def prim_id_map(geom) -> np.ndarray:
 
     cam = camera()
     ids = np.full((H * W,), -1, np.int32)
-    chunk = 1 << 16
+    # brute intersect materializes (chunk, T) intermediates — cap them
+    # at ~64 MB (>100 MB hangs the remote TPU compiler, CLAUDE.md)
+    chunk = min(1 << 16, max(2048, (1 << 24) // max(geom.num_tris, 1)))
 
     @jax.jit
     def run(lane):
@@ -90,18 +92,25 @@ def erode(mask: np.ndarray, it: int = 2) -> np.ndarray:
 
 
 def extract_ref_med(ref_u8: np.ndarray, ids: np.ndarray, n: int):
-    """Per-prim median displayed u8 color from the PNG.
+    """Per-prim mean displayed u8 color over interior pixels (pixels whose
+    2-px neighborhood shares one prim id), vectorized via bincount —
+    O(image), usable at sub-4's 4096 prims.
 
-    Returns (med (N,3) float, npix (N,)); med is NaN where the prim has
-    fewer than 25 interior pixels."""
+    Returns (med (N,3) float, npix (N,)); NaN where a prim has fewer
+    than 25 interior pixels."""
+    interior = ids >= 0
+    for dy, dx in ((1, 0), (-1, 0), (0, 1), (0, -1),
+                   (2, 0), (-2, 0), (0, 2), (0, -2),
+                   (1, 1), (1, -1), (-1, 1), (-1, -1)):
+        shifted = np.roll(np.roll(ids, dy, 0), dx, 1)
+        interior &= shifted == ids
+    flat_ids = ids[interior]
+    npx = np.bincount(flat_ids, minlength=n).astype(np.int64)
     med = np.full((n, 3), np.nan, np.float64)
-    npx = np.zeros((n,), np.int64)
-    for i in range(n):
-        m = erode(ids == i, 2)
-        npx[i] = int(m.sum())
-        if npx[i] < 25:
-            continue
-        med[i] = np.median(ref_u8[m].astype(np.float64), axis=0)
+    for c in range(3):
+        s = np.bincount(flat_ids, weights=ref_u8[interior][:, c],
+                        minlength=n)
+        med[:, c] = np.where(npx >= 25, s / np.maximum(npx, 1), np.nan)
     return med, npx
 
 

@@ -325,3 +325,55 @@ class TestGuideAugmentedPack:
             return np.asarray(r.film.accum)
 
         np.testing.assert_array_equal(render(True), render(False))
+
+
+class TestGroupedDMA:
+    """Second-generation 8-ray-group culled kernel: must agree with the
+    brute-force oracle on incoherent batches (the bounce-ray shape that
+    motivated it)."""
+
+    def test_matches_bruteforce_incoherent(self):
+        geom = subdivide(cornell_box("quads"), 3).build()  # 2048 tris
+        key = jax.random.key(11)
+        ko, kd = jax.random.split(key)
+        n = 4096
+        o = jax.random.uniform(
+            ko, (n, 3), minval=-2.5, maxval=2.5
+        ) + jnp.array([0.0, 2.75, 0.0])
+        d = jax.random.normal(kd, (n, 3))
+        d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+        cs = ip.CulledScene(geom)
+        t, ridx = ip.pallas_closest_tuv_dma_grouped(
+            cs.tri_pack, cs.cluster_min, cs.cluster_max, o, d
+        )
+        ref = closest_hit(geom, o, d)
+        m = np.asarray(ref.valid)
+        assert (np.isfinite(np.asarray(t)) == m).all()
+        # atol floors the rtol check for near-t_min hits, where the
+        # (8,1)x(1,128) broadcast shape fuses FMAs differently than the
+        # brute kernel (eps-level backend agreement, like bvh/culled)
+        np.testing.assert_allclose(
+            np.asarray(t)[m], np.asarray(ref.t)[m], rtol=1e-5, atol=1e-6
+        )
+        tri_idx = np.asarray(cs.order)[np.asarray(ridx)]
+        np.testing.assert_array_equal(
+            np.asarray(geom.tri_prim)[tri_idx][m],
+            np.asarray(ref.prim)[m],
+        )
+
+    def test_matches_dma_kernel(self):
+        """Grouped and row-granular kernels share tie-break semantics up
+        to schedule order; t must agree exactly on a coherent batch."""
+        geom = subdivide(cornell_box("quads"), 2).build()
+        n = ip.ray_batch_multiple()
+        o, d = rays(n, seed=5)
+        cs = ip.CulledScene(geom)
+        t0, _ = ip.pallas_closest_tuv_dma(
+            cs.tri_pack, cs.cluster_min, cs.cluster_max, o, d
+        )
+        t1, _ = ip.pallas_closest_tuv_dma_grouped(
+            cs.tri_pack, cs.cluster_min, cs.cluster_max, o, d
+        )
+        np.testing.assert_allclose(
+            np.asarray(t0), np.asarray(t1), rtol=1e-6
+        )

@@ -1541,3 +1541,442 @@ def pallas_closest_tuv_dma(tri_pack, cluster_min, cluster_max, o, d,
     if return_stats:
         return t[:b0], idx[:b0], stats.reshape(tiles), count
     return t[:b0], idx[:b0]
+
+
+# ---------------------------------------------------------------------------
+# Grouped (8-ray) culled-DMA intersector — second-generation large-scene path
+# ---------------------------------------------------------------------------
+# The 128-ray-row kernel above pays for every cluster ANY ray of a row
+# touches: measured row-unions are 45 clusters vs a per-ray incidence of
+# 3.6 on the 101k-tri scene, and the global ray sort that would shrink
+# them costs more than it saves in XLA (3.8 ms argsort + 2.2 ms scatter
+# at 64k). This kernel removes the need for any permutation by shrinking
+# the cull granule 16x instead: rays ride the SUBLANES in groups of 8
+# (lane = group id), triangles ride the lanes, and the pre-pass emits an
+# exact per-(tile, cluster) 128-bit group mask. The serial schedule walk
+# then iterates only the set bits — (group, cluster) pairs — with
+# per-pair compute a single (8, 128) vector-op sequence:
+#
+#   * per-group running (t, id) candidates live in a VMEM accumulator
+#     (8, 128*128) so no cross-lane reduction happens inside the walk;
+#     one vectorized argmin pass at the end resolves winners;
+#   * the group's 6 ray components are extracted with one-hot lane
+#     blends (Mosaic has no dynamic unaligned lane slicing);
+#   * set bits are found with a branch-free single-bit log2 on the
+#     scalar core, so walk cost scales with PAIRS, not with bits
+#     scanned.
+#
+# Semantics: same t/u/v math, ordered compares, first-strict-minimum
+# update per lane slot; cross-cluster exact-t ties follow the serial
+# schedule order (same caveat as pallas_closest_tuv_dma(sort_rays)).
+# Replaces /root/reference's per-thread BVH descent (bvh.h:222-270) for
+# arbitrary scene sizes.
+
+GROUP = 8               # rays per cull group (sublane dim)
+GROUPS_PER_TILE = RAYS_PER_TILE // GROUP   # 128 = one lane row
+
+
+def _kernel_prepass_groups(cb_ref, ox, oy, oz, ix, iy, iz, scal_ref,
+                           ghit_ref, tn_ref):
+    """Group-granular cluster visibility pre-pass.
+
+    Transposed ray layout: (8, 128) blocks with lane = group, sublane =
+    ray slot. One grid step = (tile i) x (128-cluster block j); per slot
+    the slab test is a dense (128 clusters, 128 groups) VPU op,
+    OR-accumulated over the 8 slots. Outputs per (tile, cluster): group
+    hit flags (128 lanes) and the tile-min entry distance."""
+    t_min = scal_ref[0]
+    n_real = scal_ref[1]
+    j = pl.program_id(1)
+    blk = jnp.transpose(cb_ref[...])          # (128 clusters, 8)
+    cvalid = (
+        jax.lax.broadcasted_iota(jnp.int32, (TRI_CHUNK, 1), 0)
+        + j * TRI_CHUNK
+    ).astype(jnp.float32) < n_real
+
+    def col(k):
+        return blk[:, k][:, None]             # (128, 1)
+
+    hit_acc = jnp.zeros((TRI_CHUNK, RAY_TILE), jnp.float32)
+    tn_min = jnp.full((TRI_CHUNK, 1), jnp.inf, jnp.float32)
+    for s in range(GROUP):
+        ro = (ox[s:s+1, :], oy[s:s+1, :], oz[s:s+1, :])
+        ri = (ix[s:s+1, :], iy[s:s+1, :], iz[s:s+1, :])
+        tn = jnp.full((TRI_CHUNK, RAY_TILE), t_min, jnp.float32)
+        tf = jnp.full((TRI_CHUNK, RAY_TILE), jnp.inf, jnp.float32)
+        for ax in range(3):
+            lo = (col(ax) - ro[ax]) * ri[ax]
+            hi = (col(ax + 3) - ro[ax]) * ri[ax]
+            tn = jnp.maximum(tn, jnp.minimum(lo, hi))
+            tf = jnp.minimum(tf, jnp.maximum(lo, hi))
+        hit = (tf >= tn) & (tf > 0.0)         # (clusters, groups)
+        hit_acc = jnp.maximum(
+            hit_acc, (hit & cvalid).astype(jnp.float32)
+        )
+        tn_min = jnp.minimum(
+            tn_min,
+            jnp.min(jnp.where(hit & cvalid, tn, jnp.inf),
+                    axis=1, keepdims=True),
+        )
+    ghit_ref[0] = hit_acc
+    tn_ref[0] = jnp.broadcast_to(
+        jnp.transpose(tn_min), (GROUP, TRI_CHUNK)
+    )
+
+
+def _prepass_groups(cluster_min, cluster_max, comps, t_min, b):
+    """Run the group pre-pass on transposed ray comps.
+
+    comps: 6 arrays (tiles*8, 128). Returns (ghit (tiles, Cpad, 128),
+    tn (tiles, Cpad), n_clusters, Cpad)."""
+    c = cluster_min.shape[0]
+    if c > _MAX_CLUSTERS:
+        raise ValueError(
+            f"{c} clusters exceeds the packed-key cap {_MAX_CLUSTERS}"
+        )
+    tiles = b // RAYS_PER_TILE
+    cpad = ((c + RAY_TILE - 1) // RAY_TILE) * RAY_TILE
+    ox, oy, oz, dx, dy, dz = comps
+    safe = lambda a: jnp.where(jnp.abs(a) > 1e-8, a, 1e-8)
+    ix, iy, iz = 1.0 / safe(dx), 1.0 / safe(dy), 1.0 / safe(dz)
+    cb = jnp.concatenate(
+        [
+            jnp.pad(cluster_min.T, ((0, 0), (0, cpad - c)),
+                    constant_values=jnp.inf),
+            jnp.pad(cluster_max.T, ((0, 0), (0, cpad - c)),
+                    constant_values=jnp.inf),
+            jnp.zeros((2, cpad), jnp.float32),
+        ]
+    )                                         # (8, Cpad)
+    ray_spec = pl.BlockSpec(
+        (GROUP, RAY_TILE), lambda i, j: (i, 0),
+        memory_space=pltpu.VMEM,
+    )
+    ghit, tn = pl.pallas_call(
+        _kernel_prepass_groups,
+        grid=(tiles, cpad // TRI_CHUNK),
+        in_specs=[
+            pl.BlockSpec((8, TRI_CHUNK), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM)
+        ]
+        + [ray_spec] * 6
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=[
+            pl.BlockSpec((1, TRI_CHUNK, RAY_TILE),
+                         lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, GROUP, TRI_CHUNK),
+                         lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((tiles, cpad, RAY_TILE), jnp.float32),
+            jax.ShapeDtypeStruct((tiles, GROUP, cpad), jnp.float32),
+        ],
+    )(
+        cb, ox, oy, oz, ix, iy, iz,
+        jnp.stack([
+            jnp.asarray(t_min, jnp.float32),
+            jnp.asarray(float(c), jnp.float32),
+        ]),
+    )
+    return ghit, tn[:, 0, :], c, cpad
+
+
+def _cluster_list_groups(cluster_min, cluster_max, comps, t_min, b):
+    """Schedule + group masks for the grouped kernel.
+
+    Returns (count (tiles,), keys (tiles, Cpad), gmask
+    (tiles, Cpad, 4) i32 — 128 group bits per cluster)."""
+    ghit, tn, c, cpad = _prepass_groups(
+        cluster_min, cluster_max, comps, t_min, b
+    )
+    tiles = ghit.shape[0]
+    hb = ghit > 0.0                             # (tiles, Cpad, 128)
+    # pack 128 group bits into 4 int32 words; distinct bits sum == OR,
+    # exact even for bit 31 (adds INT_MIN once)
+    shifts = jnp.left_shift(
+        jnp.int32(1), jnp.arange(32, dtype=jnp.int32)
+    )
+    gmask = jnp.sum(
+        jnp.where(hb.reshape(tiles, cpad, 4, 32), shifts, 0),
+        axis=-1, dtype=jnp.int32,
+    )
+    active = jnp.any(hb, axis=-1) & (
+        jnp.arange(cpad)[None, :] < c
+    )
+    count = jnp.sum(active, axis=1).astype(jnp.int32)
+
+    # front-to-back bucket quantization (same scheme as _cluster_list)
+    tn_act = jnp.where(active, tn, jnp.inf)
+    lo = jnp.min(tn_act, axis=1)
+    hi = jnp.max(jnp.where(active, tn, -jnp.inf), axis=1)
+    lo = jnp.where(jnp.isfinite(lo), lo, 0.0)
+    hi = jnp.where(jnp.isfinite(hi), hi, 0.0)
+    step = jnp.maximum((hi - lo) / (_BUCKETS - 1), 1e-30)
+    bucket = jnp.clip(
+        ((tn - lo[:, None]) / step[:, None]).astype(jnp.int32),
+        0, _BUCKETS - 1,
+    )
+    bucket = jnp.where(active, bucket, 0)
+    iota = jnp.broadcast_to(
+        jnp.arange(cpad, dtype=jnp.int32)[None, :], (tiles, cpad)
+    )
+    keys = (
+        jnp.where(active, 0, jnp.int32(1) << 30)
+        | (bucket << _BUCKET_SHIFT)
+        | iota
+    )
+    return count, keys, gmask
+
+
+def _log2_onehot(m):
+    """Bit index of a single-bit int32 mask, branch-free on the scalar
+    core (works for bit 31: m-1 wraps to 0x7fffffff)."""
+    x = m - 1
+    # popcount via SWAR adds (scalar int32 ops only)
+    x = x - ((x >> 1) & 0x55555555)
+    x = (x & 0x33333333) + ((x >> 2) & 0x33333333)
+    x = (x + (x >> 4)) & 0x0F0F0F0F
+    return (x * 0x01010101) >> 24
+
+
+def _kernel_grouped_dma(count_ref, key_ref, gmask_ref, tri_hbm,
+                        ox, oy, oz, dx, dy, dz, tmin_ref,
+                        t_out, id_out,
+                        sched, hist, scratch, sem, tcand, icand):
+    n_active = count_ref[0, 0, 0]
+    t_min = tmin_ref[0]
+    cpad = key_ref.shape[2]
+    bin_shift = _BUCKET_SHIFT + _BIN_SUB_BITS
+
+    # ---- counting sort of active keys by distance bin (scalar core)
+    def zero(i, carry):
+        hist[i] = 0
+        return carry
+
+    jax.lax.fori_loop(0, _SORT_BINS, zero, 0)
+
+    def cnt(i, carry):
+        k = key_ref[0, 0, i]
+
+        @pl.when(k < (1 << 30))
+        def _():
+            bb = (k >> bin_shift) & (_SORT_BINS - 1)
+            hist[bb] = hist[bb] + 1
+
+        return carry
+
+    jax.lax.fori_loop(0, cpad, cnt, 0)
+
+    def pfx(i, acc):
+        n = hist[i]
+        hist[i] = acc
+        return acc + n
+
+    jax.lax.fori_loop(0, _SORT_BINS, pfx, 0)
+
+    def place(i, carry):
+        k = key_ref[0, 0, i]
+
+        @pl.when(k < (1 << 30))
+        def _():
+            bb = (k >> bin_shift) & (_SORT_BINS - 1)
+            p = hist[bb]
+            sched[p] = k
+            hist[bb] = p + 1
+
+        return carry
+
+    jax.lax.fori_loop(0, cpad, place, 0)
+
+    def get_dma(slot, k):
+        cid = sched[k] & (_MAX_CLUSTERS - 1)
+        return pltpu.make_async_copy(
+            tri_hbm.at[:, pl.ds(cid * TRI_CHUNK, TRI_CHUNK)],
+            scratch.at[slot],
+            sem.at[slot],
+        )
+
+    @pl.when(n_active > 0)
+    def _():
+        get_dma(0, 0).start()
+
+    # candidates: +inf / BIG id per (ray slot, group*128 + tri lane)
+    tcand[...] = jnp.full((GROUP, GROUPS_PER_TILE * TRI_CHUNK), jnp.inf)
+    icand[...] = jnp.full(
+        (GROUP, GROUPS_PER_TILE * TRI_CHUNK), _BIG_ID, jnp.int32
+    )
+
+    lane_iota = jax.lax.broadcasted_iota(
+        jnp.int32, (GROUP, RAY_TILE), 1
+    )
+    rox_all, roy_all, roz_all = ox[...], oy[...], oz[...]
+    rdx_all, rdy_all, rdz_all = dx[...], dy[...], dz[...]
+
+    def body(k, started):
+        slot = jax.lax.rem(k, 2)
+        nxt = jnp.minimum(k + 1, cpad - 1)
+        start_next = k + 1 < n_active
+
+        @pl.when(start_next)
+        def _():
+            get_dma(jax.lax.rem(k + 1, 2), nxt).start()
+
+        @pl.when(started != 0)
+        def _():
+            get_dma(slot, k).wait()
+
+        cid = sched[k] & (_MAX_CLUSTERS - 1)
+        trb = scratch[slot]                    # (16, 128)
+
+        def row(kk):
+            return trb[kk:kk+1, :]             # (1, 128)
+
+        ids_lane = (
+            jax.lax.broadcasted_iota(
+                jnp.int32, (GROUP, TRI_CHUNK), 1
+            ) + cid * TRI_CHUNK
+        )
+
+        def process_group(g):
+            sel = lane_iota == g
+
+            def ext(a):
+                return jnp.sum(
+                    jnp.where(sel, a, 0.0), axis=1, keepdims=True
+                )                              # (8, 1)
+
+            rox, roy, roz = ext(rox_all), ext(roy_all), ext(roz_all)
+            rdx, rdy, rdz = ext(rdx_all), ext(rdy_all), ext(rdz_all)
+            os_ = row(6) * rox + row(7) * roy + row(8) * roz - row(11)
+            ds_ = row(6) * rdx + row(7) * rdy + row(8) * rdz
+            t = -os_ / ds_
+            u = (
+                row(0) * rox + row(1) * roy + row(2) * roz - row(9)
+            ) + t * (row(0) * rdx + row(1) * rdy + row(2) * rdz)
+            v = (
+                row(3) * rox + row(4) * roy + row(5) * roz - row(10)
+            ) + t * (row(3) * rdx + row(4) * rdy + row(5) * rdz)
+            ok = (
+                (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+                & (t > 1e-8) & (t >= t_min)
+            )
+            tt = jnp.where(ok, t, jnp.inf)     # (8, 128)
+            off = g * TRI_CHUNK
+            tcur = tcand[:, pl.ds(off, TRI_CHUNK)]
+            icur = icand[:, pl.ds(off, TRI_CHUNK)]
+            better = tt < tcur
+            tcand[:, pl.ds(off, TRI_CHUNK)] = jnp.where(
+                better, tt, tcur
+            )
+            icand[:, pl.ds(off, TRI_CHUNK)] = jnp.where(
+                better, ids_lane, icur
+            )
+
+        for w in range(4):
+            def bit_body(m):
+                lb = m & (-m)
+                process_group(w * 32 + _log2_onehot(lb))
+                return m & (m - 1)
+
+            jax.lax.while_loop(
+                lambda m: m != 0, bit_body, gmask_ref[0, cid, w]
+            )
+        return start_next.astype(jnp.int32)
+
+    jax.lax.fori_loop(
+        0, n_active, body, (n_active > 0).astype(jnp.int32)
+    )
+
+    # ---- final vectorized winner resolution (one pass over groups)
+    tacc = jnp.full((GROUP, RAY_TILE), jnp.inf)
+    iacc = jnp.zeros((GROUP, RAY_TILE), jnp.int32)
+    for g in range(GROUPS_PER_TILE):
+        tg = tcand[:, g * TRI_CHUNK:(g + 1) * TRI_CHUNK]
+        ig = icand[:, g * TRI_CHUNK:(g + 1) * TRI_CHUNK]
+        tw = jnp.min(tg, axis=1, keepdims=True)             # (8, 1)
+        iw = jnp.min(
+            jnp.where(tg == tw, ig, _BIG_ID), axis=1, keepdims=True
+        )
+        sel = lane_iota == g
+        tacc = jnp.where(sel, tw, tacc)
+        iacc = jnp.where(sel, iw, iacc)
+    t_out[...] = tacc
+    id_out[...] = jnp.where(jnp.isfinite(tacc), iacc, 0)
+
+
+@jax.jit
+def pallas_closest_tuv_dma_grouped(tri_pack, cluster_min, cluster_max,
+                                   o, d, t_min=1e-4):
+    """(t, reordered tri idx) closest hit, 8-ray-group cull granularity.
+
+    Same scene inputs as pallas_closest_tuv_dma (transposed Morton-
+    clustered tri_pack + cluster AABBs); any batch size."""
+    (o, d), b0 = _pad_rays(o, d)
+    b = o.shape[0]
+    tiles = b // RAYS_PER_TILE
+
+    def tcomp(x):
+        return (
+            x.reshape(tiles, GROUPS_PER_TILE, GROUP)
+            .transpose(0, 2, 1)
+            .reshape(tiles * GROUP, RAY_TILE)
+        )
+
+    comps = [tcomp(o[:, 0]), tcomp(o[:, 1]), tcomp(o[:, 2]),
+             tcomp(d[:, 0]), tcomp(d[:, 1]), tcomp(d[:, 2])]
+    count, keys, gmask = _cluster_list_groups(
+        cluster_min, cluster_max, comps, t_min, b
+    )
+    cpad = keys.shape[1]
+
+    ray_spec = pl.BlockSpec(
+        (GROUP, RAY_TILE), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    t, idx = pl.pallas_call(
+        _kernel_grouped_dma,
+        grid=(tiles,),
+        in_specs=[
+            pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, cpad), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, cpad, 4), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ]
+        + [ray_spec] * 6
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=[ray_spec, ray_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((tiles * GROUP, RAY_TILE), jnp.float32),
+            jax.ShapeDtypeStruct((tiles * GROUP, RAY_TILE), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.SMEM((cpad,), jnp.int32),
+            pltpu.SMEM((_SORT_BINS,), jnp.int32),
+            pltpu.VMEM((2, 16, TRI_CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((GROUP, GROUPS_PER_TILE * TRI_CHUNK),
+                       jnp.float32),
+            pltpu.VMEM((GROUP, GROUPS_PER_TILE * TRI_CHUNK),
+                       jnp.int32),
+        ],
+    )(
+        count.reshape(tiles, 1, 1),
+        keys[:, None, :],
+        gmask,
+        tri_pack,
+        *comps,
+        jnp.full((1,), t_min, jnp.float32),
+    )
+
+    def untcomp(x):
+        return (
+            x.reshape(tiles, GROUP, GROUPS_PER_TILE)
+            .transpose(0, 2, 1)
+            .reshape(b)
+        )
+
+    return untcomp(t)[:b0], untcomp(idx)[:b0]
