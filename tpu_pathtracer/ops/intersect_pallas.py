@@ -1574,6 +1574,8 @@ def pallas_closest_tuv_dma(tri_pack, cluster_min, cluster_max, o, d,
 
 GROUP = 8               # rays per cull group (sublane dim)
 GROUPS_PER_TILE = RAYS_PER_TILE // GROUP   # 128 = one lane row
+_DMA_RING = 8           # cluster-stream prefetch depth (hides DMA latency
+                        # when per-cluster compute is a few group visits)
 
 
 def _kernel_prepass_groups(cb_ref, ox, oy, oz, ix, iy, iz, scal_ref,
@@ -1618,7 +1620,28 @@ def _kernel_prepass_groups(cb_ref, ox, oy, oz, ix, iy, iz, scal_ref,
             jnp.min(jnp.where(hit & cvalid, tn, jnp.inf),
                     axis=1, keepdims=True),
         )
-    ghit_ref[0] = hit_acc
+    # Pack the 128 group-hit lanes into 8 x 16-bit halfword sums
+    # (distinct powers 2^0..2^15 sum exactly in f32; a full 32-bit word
+    # would not) — shrinks the HBM output 16x and removes the XLA-side
+    # one-hot packing pass entirely.
+    lane16 = jax.lax.broadcasted_iota(
+        jnp.int32, (TRI_CHUNK, RAY_TILE), 1
+    ) % 16
+    # exact power-of-two weights via integer shift (exp2 lowers to
+    # exp(x ln 2) and is NOT exact)
+    w16 = jnp.left_shift(jnp.int32(1), lane16).astype(jnp.float32)
+    seg = jax.lax.broadcasted_iota(
+        jnp.int32, (TRI_CHUNK, RAY_TILE), 1
+    ) // 16
+    halves = []
+    for h in range(GROUP):
+        halves.append(
+            jnp.sum(
+                jnp.where(seg == h, hit_acc * w16, 0.0),
+                axis=1, keepdims=True,
+            )
+        )
+    ghit_ref[0] = jnp.concatenate(halves, axis=1)   # (128, 8)
     tn_ref[0] = jnp.broadcast_to(
         jnp.transpose(tn_min), (GROUP, TRI_CHUNK)
     )
@@ -1627,8 +1650,9 @@ def _kernel_prepass_groups(cb_ref, ox, oy, oz, ix, iy, iz, scal_ref,
 def _prepass_groups(cluster_min, cluster_max, comps, t_min, b):
     """Run the group pre-pass on transposed ray comps.
 
-    comps: 6 arrays (tiles*8, 128). Returns (ghit (tiles, Cpad, 128),
-    tn (tiles, Cpad), n_clusters, Cpad)."""
+    comps: 6 arrays (tiles*8, 128). Returns (ghit (tiles, Cpad, 8)
+    f32 16-bit-halfword group masks, tn (tiles, Cpad), n_clusters,
+    Cpad)."""
     c = cluster_min.shape[0]
     if c > _MAX_CLUSTERS:
         raise ValueError(
@@ -1662,7 +1686,7 @@ def _prepass_groups(cluster_min, cluster_max, comps, t_min, b):
         + [ray_spec] * 6
         + [pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_specs=[
-            pl.BlockSpec((1, TRI_CHUNK, RAY_TILE),
+            pl.BlockSpec((1, TRI_CHUNK, GROUP),
                          lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, GROUP, TRI_CHUNK),
@@ -1670,7 +1694,7 @@ def _prepass_groups(cluster_min, cluster_max, comps, t_min, b):
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((tiles, cpad, RAY_TILE), jnp.float32),
+            jax.ShapeDtypeStruct((tiles, cpad, GROUP), jnp.float32),
             jax.ShapeDtypeStruct((tiles, GROUP, cpad), jnp.float32),
         ],
     )(
@@ -1691,18 +1715,11 @@ def _cluster_list_groups(cluster_min, cluster_max, comps, t_min, b):
     ghit, tn, c, cpad = _prepass_groups(
         cluster_min, cluster_max, comps, t_min, b
     )
+    # ghit: (tiles, Cpad, 8) f32 16-bit halfword sums (packed in-kernel)
     tiles = ghit.shape[0]
-    hb = ghit > 0.0                             # (tiles, Cpad, 128)
-    # pack 128 group bits into 4 int32 words; distinct bits sum == OR,
-    # exact even for bit 31 (adds INT_MIN once)
-    shifts = jnp.left_shift(
-        jnp.int32(1), jnp.arange(32, dtype=jnp.int32)
-    )
-    gmask = jnp.sum(
-        jnp.where(hb.reshape(tiles, cpad, 4, 32), shifts, 0),
-        axis=-1, dtype=jnp.int32,
-    )
-    active = jnp.any(hb, axis=-1) & (
+    h = ghit.astype(jnp.int32)
+    gmask = h[..., 0::2] | (h[..., 1::2] << 16)   # (tiles, Cpad, 4)
+    active = jnp.any(ghit > 0.0, axis=-1) & (
         jnp.arange(cpad)[None, :] < c
     )
     count = jnp.sum(active, axis=1).astype(jnp.int32)
@@ -1798,11 +1815,22 @@ def _kernel_grouped_dma(count_ref, key_ref, gmask_ref, tri_hbm,
             sem.at[slot],
         )
 
-    @pl.when(n_active > 0)
-    def _():
-        get_dma(0, 0).start()
+    # Prime the DMA ring: with per-cluster compute as small as ~2 group
+    # visits, a 2-deep pipeline leaves the walk DMA-LATENCY bound
+    # (measured ~0.4 us/cluster visit); _DMA_RING-deep prefetch hides it.
+    def prime(k, carry):
+        @pl.when(k < n_active)
+        def _():
+            get_dma(jax.lax.rem(k, _DMA_RING), k).start()
 
-    # candidates: +inf / BIG id per (ray slot, group*128 + tri lane)
+        return carry
+
+    jax.lax.fori_loop(0, _DMA_RING - 1, prime, 0)
+
+    # candidates: +inf / BIG id per (ray slot, group*128 + tri lane).
+    # They live in a VMEM accumulator addressed by dynamic lane offset
+    # g*128 — carrying them as while_loop registers instead was measured
+    # 2x SLOWER (Mosaic spills vector loop carries every iteration).
     tcand[...] = jnp.full((GROUP, GROUPS_PER_TILE * TRI_CHUNK), jnp.inf)
     icand[...] = jnp.full(
         (GROUP, GROUPS_PER_TILE * TRI_CHUNK), _BIG_ID, jnp.int32
@@ -1811,21 +1839,21 @@ def _kernel_grouped_dma(count_ref, key_ref, gmask_ref, tri_hbm,
     lane_iota = jax.lax.broadcasted_iota(
         jnp.int32, (GROUP, RAY_TILE), 1
     )
+    tri_iota = jax.lax.broadcasted_iota(
+        jnp.int32, (GROUP, TRI_CHUNK), 1
+    )
     rox_all, roy_all, roz_all = ox[...], oy[...], oz[...]
     rdx_all, rdy_all, rdz_all = dx[...], dy[...], dz[...]
 
-    def body(k, started):
-        slot = jax.lax.rem(k, 2)
-        nxt = jnp.minimum(k + 1, cpad - 1)
-        start_next = k + 1 < n_active
+    def body(k, carry):
+        slot = jax.lax.rem(k, _DMA_RING)
+        ahead = jnp.minimum(k + _DMA_RING - 1, cpad - 1)
 
-        @pl.when(start_next)
+        @pl.when(k + _DMA_RING - 1 < n_active)
         def _():
-            get_dma(jax.lax.rem(k + 1, 2), nxt).start()
+            get_dma(jax.lax.rem(ahead, _DMA_RING), ahead).start()
 
-        @pl.when(started != 0)
-        def _():
-            get_dma(slot, k).wait()
+        get_dma(slot, k).wait()
 
         cid = sched[k] & (_MAX_CLUSTERS - 1)
         trb = scratch[slot]                    # (16, 128)
@@ -1833,11 +1861,7 @@ def _kernel_grouped_dma(count_ref, key_ref, gmask_ref, tri_hbm,
         def row(kk):
             return trb[kk:kk+1, :]             # (1, 128)
 
-        ids_lane = (
-            jax.lax.broadcasted_iota(
-                jnp.int32, (GROUP, TRI_CHUNK), 1
-            ) + cid * TRI_CHUNK
-        )
+        ids_lane = tri_iota + cid * TRI_CHUNK
 
         def process_group(g):
             sel = lane_iota == g
@@ -1883,11 +1907,9 @@ def _kernel_grouped_dma(count_ref, key_ref, gmask_ref, tri_hbm,
             jax.lax.while_loop(
                 lambda m: m != 0, bit_body, gmask_ref[0, cid, w]
             )
-        return start_next.astype(jnp.int32)
+        return carry
 
-    jax.lax.fori_loop(
-        0, n_active, body, (n_active > 0).astype(jnp.int32)
-    )
+    jax.lax.fori_loop(0, n_active, body, 0)
 
     # ---- final vectorized winner resolution (one pass over groups)
     tacc = jnp.full((GROUP, RAY_TILE), jnp.inf)
@@ -1956,8 +1978,8 @@ def pallas_closest_tuv_dma_grouped(tri_pack, cluster_min, cluster_max,
         scratch_shapes=[
             pltpu.SMEM((cpad,), jnp.int32),
             pltpu.SMEM((_SORT_BINS,), jnp.int32),
-            pltpu.VMEM((2, 16, TRI_CHUNK), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((_DMA_RING, 16, TRI_CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA((_DMA_RING,)),
             pltpu.VMEM((GROUP, GROUPS_PER_TILE * TRI_CHUNK),
                        jnp.float32),
             pltpu.VMEM((GROUP, GROUPS_PER_TILE * TRI_CHUNK),
