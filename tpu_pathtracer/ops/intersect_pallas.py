@@ -1842,8 +1842,6 @@ def _kernel_grouped_dma(count_ref, key_ref, gmask_ref, tri_hbm,
     tri_iota = jax.lax.broadcasted_iota(
         jnp.int32, (GROUP, TRI_CHUNK), 1
     )
-    rox_all, roy_all, roz_all = ox[...], oy[...], oz[...]
-    rdx_all, rdy_all, rdz_all = dx[...], dy[...], dz[...]
 
     def body(k, carry):
         slot = jax.lax.rem(k, _DMA_RING)
@@ -1864,15 +1862,17 @@ def _kernel_grouped_dma(count_ref, key_ref, gmask_ref, tri_hbm,
         ids_lane = tri_iota + cid * TRI_CHUNK
 
         def process_group(g):
-            sel = lane_iota == g
+            # group g's rays arrive pre-broadcast over lanes: rows
+            # [g*8, g*8+8) of the (1024, 128) comp blocks — a dynamic
+            # sublane slice at a provable multiple of 8, replacing six
+            # one-hot extract reductions per pair
+            s0 = g * GROUP
 
-            def ext(a):
-                return jnp.sum(
-                    jnp.where(sel, a, 0.0), axis=1, keepdims=True
-                )                              # (8, 1)
+            def ext(ref):
+                return ref[pl.ds(s0, GROUP), :]            # (8, 128)
 
-            rox, roy, roz = ext(rox_all), ext(roy_all), ext(roz_all)
-            rdx, rdy, rdz = ext(rdx_all), ext(rdy_all), ext(rdz_all)
+            rox, roy, roz = ext(ox), ext(oy), ext(oz)
+            rdx, rdy, rdz = ext(dx), ext(dy), ext(dz)
             os_ = row(6) * rox + row(7) * roy + row(8) * roz - row(11)
             ds_ = row(6) * rdx + row(7) * rdy + row(8) * rdz
             t = -os_ / ds_
@@ -1953,6 +1953,21 @@ def pallas_closest_tuv_dma_grouped(tri_pack, cluster_min, cluster_max,
     )
     cpad = keys.shape[1]
 
+    # per-tile comp blocks pre-broadcast over lanes: ray r of the tile
+    # at sublane r, identical across the 128 lanes, so the kernel reads
+    # group g's rays as one aligned (8, 128) slice
+    def bcomp(x):
+        return jnp.broadcast_to(
+            x.reshape(tiles * RAYS_PER_TILE, 1),
+            (tiles * RAYS_PER_TILE, RAY_TILE),
+        )
+
+    bcomps = [bcomp(o[:, 0]), bcomp(o[:, 1]), bcomp(o[:, 2]),
+              bcomp(d[:, 0]), bcomp(d[:, 1]), bcomp(d[:, 2])]
+    bray_spec = pl.BlockSpec(
+        (RAYS_PER_TILE, RAY_TILE), lambda i: (i, 0),
+        memory_space=pltpu.VMEM,
+    )
     ray_spec = pl.BlockSpec(
         (GROUP, RAY_TILE), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
@@ -1968,7 +1983,7 @@ def pallas_closest_tuv_dma_grouped(tri_pack, cluster_min, cluster_max,
                          memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ]
-        + [ray_spec] * 6
+        + [bray_spec] * 6
         + [pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_specs=[ray_spec, ray_spec],
         out_shape=[
@@ -1990,7 +2005,7 @@ def pallas_closest_tuv_dma_grouped(tri_pack, cluster_min, cluster_max,
         keys[:, None, :],
         gmask,
         tri_pack,
-        *comps,
+        *bcomps,
         jnp.full((1,), t_min, jnp.float32),
     )
 
