@@ -69,13 +69,17 @@ def prim_id_map(geom) -> np.ndarray:
         hit = trace_primary(geom, o, d)
         return jnp.where(hit.valid, hit.prim, -1)
 
+    # dispatch all chunks, fetch once (per-chunk np.asarray would sync
+    # the axon tunnel ~25 ms per chunk — ~500 chunks at sub-4)
+    outs = []
     for s in range(0, H * W, chunk):
         lane = jnp.arange(s, min(s + chunk, H * W), dtype=jnp.int32)
         pad = chunk - lane.shape[0]
         if pad:
             lane = jnp.concatenate([lane, jnp.zeros((pad,), jnp.int32)])
-        out = np.asarray(run(lane))
-        ids[s:s + chunk - pad] = out[:chunk - pad]
+        outs.append((s, pad, run(lane)))
+    for s, pad, out in outs:
+        ids[s:s + chunk - pad] = np.asarray(out)[:chunk - pad]
     return ids.reshape(H, W)[::-1]  # flip to row0=top
 
 
@@ -249,7 +253,13 @@ def main():
     geom = build_geom(args.sub)
     n = geom.num_prims
     emission = np.asarray(geom.emission, np.float64)
-    ids = prim_id_map(geom)
+    # id map cached on disk: at sub-4 it costs ~500 brute chunks
+    idmap_cache = os.path.join(HERE, f"forensics_ids_sub{args.sub}.npy")
+    if os.path.exists(idmap_cache):
+        ids = np.load(idmap_cache)
+    else:
+        ids = prim_id_map(geom)
+        np.save(idmap_cache, ids)
 
     packs = None
     if not args.cpu:

@@ -1590,10 +1590,14 @@ GROUP = 8               # rays per cull group (sublane dim)
 GROUPS_PER_TILE = RAYS_PER_TILE // GROUP   # 128 = one lane row
 _DMA_RING = 8           # cluster-stream prefetch depth (hides DMA latency
                         # when per-cluster compute is a few group visits)
+_GROUPED_EARLY_OUT = False  # group-level front-to-back exit: measured NET-NEGATIVE
+                            # on stress100k (coherent 10.2 -> 13.1 ms: the
+                            # per-pair gbest update exceeds the pair savings);
+                            # kept as a flag for low-incidence scenes
 
 
 def _kernel_prepass_groups(cb_ref, ox, oy, oz, ix, iy, iz, scal_ref,
-                           ghit_ref, tn_ref):
+                           ghit_ref, tn_ref, texit_ref):
     """Group-granular cluster visibility pre-pass.
 
     Transposed ray layout: (8, 128) blocks with lane = group, sublane =
@@ -1615,6 +1619,7 @@ def _kernel_prepass_groups(cb_ref, ox, oy, oz, ix, iy, iz, scal_ref,
 
     hit_acc = jnp.zeros((TRI_CHUNK, RAY_TILE), jnp.float32)
     tn_min = jnp.full((TRI_CHUNK, 1), jnp.inf, jnp.float32)
+    exits8 = []
     for s in range(GROUP):
         ro = (ox[s:s+1, :], oy[s:s+1, :], oz[s:s+1, :])
         ri = (ix[s:s+1, :], iy[s:s+1, :], iz[s:s+1, :])
@@ -1634,6 +1639,22 @@ def _kernel_prepass_groups(cb_ref, ox, oy, oz, ix, iy, iz, scal_ref,
             jnp.min(jnp.where(hit & cvalid, tn, jnp.inf),
                     axis=1, keepdims=True),
         )
+        # per-ray TIGHT interest bound: max slab exit over touched
+        # clusters (any hit lies before it; rays touching nothing get
+        # t_min and stop holding their group open immediately)
+        exits8.append(
+            jnp.max(jnp.where(hit & cvalid, tf, -jnp.inf),
+                    axis=0, keepdims=True)
+        )                                     # (1, 128)
+    ex = jnp.concatenate(exits8, axis=0)      # (8, 128)
+
+    @pl.when(j == 0)
+    def _():
+        texit_ref[0] = jnp.maximum(ex, t_min)
+
+    @pl.when(j > 0)
+    def _():
+        texit_ref[0] = jnp.maximum(texit_ref[0], ex)
     # Pack the 128 group-hit lanes into 8 x 16-bit halfword sums
     # (distinct powers 2^0..2^15 sum exactly in f32; a full 32-bit word
     # would not) — shrinks the HBM output 16x and removes the XLA-side
@@ -1690,7 +1711,7 @@ def _prepass_groups(cluster_min, cluster_max, comps, t_min, b):
         (GROUP, RAY_TILE), lambda i, j: (i, 0),
         memory_space=pltpu.VMEM,
     )
-    ghit, tn = pl.pallas_call(
+    ghit, tn, texit = pl.pallas_call(
         _kernel_prepass_groups,
         grid=(tiles, cpad // TRI_CHUNK),
         in_specs=[
@@ -1706,10 +1727,14 @@ def _prepass_groups(cluster_min, cluster_max, comps, t_min, b):
             pl.BlockSpec((1, GROUP, TRI_CHUNK),
                          lambda i, j: (i, 0, j),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, GROUP, RAY_TILE),
+                         lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((tiles, cpad, GROUP), jnp.float32),
             jax.ShapeDtypeStruct((tiles, GROUP, cpad), jnp.float32),
+            jax.ShapeDtypeStruct((tiles, GROUP, RAY_TILE), jnp.float32),
         ],
     )(
         cb, ox, oy, oz, ix, iy, iz,
@@ -1718,15 +1743,17 @@ def _prepass_groups(cluster_min, cluster_max, comps, t_min, b):
             jnp.asarray(float(c), jnp.float32),
         ]),
     )
-    return ghit, tn[:, 0, :], c, cpad
+    return ghit, tn[:, 0, :], texit, c, cpad
 
 
 def _cluster_list_groups(cluster_min, cluster_max, comps, t_min, b):
     """Schedule + group masks for the grouped kernel.
 
     Returns (count (tiles,), keys (tiles, Cpad), gmask
-    (tiles, Cpad, 4) i32 — 128 group bits per cluster)."""
-    ghit, tn, c, cpad = _prepass_groups(
+    (tiles, Cpad, 4) i32 — 128 group bits per cluster, lostep
+    (tiles, 2) distance-bucket dequantization, texit
+    (tiles, 8, 128) per-ray interest bounds)."""
+    ghit, tn, texit, c, cpad = _prepass_groups(
         cluster_min, cluster_max, comps, t_min, b
     )
     # ghit: (tiles, Cpad, 8) f32 16-bit halfword sums (packed in-kernel)
@@ -1758,7 +1785,8 @@ def _cluster_list_groups(cluster_min, cluster_max, comps, t_min, b):
         | (bucket << _BUCKET_SHIFT)
         | iota
     )
-    return count, keys, gmask
+    lostep = jnp.stack([lo, step], axis=1)          # (tiles, 2)
+    return count, keys, gmask, lostep, texit
 
 
 def _log2_onehot(m):
@@ -1772,12 +1800,16 @@ def _log2_onehot(m):
     return (x * 0x01010101) >> 24
 
 
-def _kernel_grouped_dma(count_ref, key_ref, gmask_ref, tri_hbm,
-                        ox, oy, oz, dx, dy, dz, tmin_ref,
+def _kernel_grouped_dma(count_ref, key_ref, gmask_ref, lostep_ref,
+                        tri_hbm,
+                        ox, oy, oz, dx, dy, dz, texit, tmin_ref,
                         t_out, id_out,
-                        sched, hist, scratch, sem, tcand, icand):
+                        sched, hist, scratch, sem, tcand, icand,
+                        gbest):
     n_active = count_ref[0, 0, 0]
     t_min = tmin_ref[0]
+    lo = lostep_ref[0, 0, 0]
+    step = lostep_ref[0, 0, 1]
     cpad = key_ref.shape[2]
     bin_shift = _BUCKET_SHIFT + _BIN_SUB_BITS
 
@@ -1849,6 +1881,11 @@ def _kernel_grouped_dma(count_ref, key_ref, gmask_ref, tri_hbm,
     icand[...] = jnp.full(
         (GROUP, GROUPS_PER_TILE * TRI_CHUNK), _BIG_ID, jnp.int32
     )
+    if _GROUPED_EARLY_OUT:
+        # per-(ray slot, group) running interest: best hit so far,
+        # capped by the ray's scene-exit bound so miss rays stop
+        # holding their group open once the schedule passes their exit
+        gbest[...] = texit[0]
 
     lane_iota = jax.lax.broadcasted_iota(
         jnp.int32, (GROUP, RAY_TILE), 1
@@ -1856,8 +1893,13 @@ def _kernel_grouped_dma(count_ref, key_ref, gmask_ref, tri_hbm,
     tri_iota = jax.lax.broadcasted_iota(
         jnp.int32, (GROUP, TRI_CHUNK), 1
     )
+    hw16 = jnp.left_shift(jnp.int32(1), lane_iota % 16).astype(
+        jnp.float32
+    )
+    seg16 = lane_iota // 16                    # (8, 128) in [0, 8)
 
     def body(k, carry):
+        open0, open1, open2, open3 = carry
         slot = jax.lax.rem(k, _DMA_RING)
         ahead = jnp.minimum(k + _DMA_RING - 1, cpad - 1)
 
@@ -1867,7 +1909,9 @@ def _kernel_grouped_dma(count_ref, key_ref, gmask_ref, tri_hbm,
 
         get_dma(slot, k).wait()
 
-        cid = sched[k] & (_MAX_CLUSTERS - 1)
+        key = sched[k]
+        cid = key & (_MAX_CLUSTERS - 1)
+
         trb = scratch[slot]                    # (16, 128)
 
         def row(kk):
@@ -1911,7 +1955,15 @@ def _kernel_grouped_dma(count_ref, key_ref, gmask_ref, tri_hbm,
             icand[:, pl.ds(off, TRI_CHUNK)] = jnp.where(
                 better, ids_lane, icur
             )
+            if _GROUPED_EARLY_OUT:
+                # shrink this group's interest for the early-out
+                tw = jnp.min(tt, axis=1, keepdims=True)      # (8, 1)
+                sel = lane_iota == g
+                gbest[...] = jnp.where(
+                    sel, jnp.minimum(gbest[...], tw), gbest[...]
+                )
 
+        ow = (open0, open1, open2, open3)
         for w in range(4):
             def bit_body(m):
                 lb = m & (-m)
@@ -1919,11 +1971,70 @@ def _kernel_grouped_dma(count_ref, key_ref, gmask_ref, tri_hbm,
                 return m & (m - 1)
 
             jax.lax.while_loop(
-                lambda m: m != 0, bit_body, gmask_ref[0, cid, w]
+                lambda m: m != 0, bit_body,
+                gmask_ref[0, cid, w] & ow[w],
             )
-        return carry
+        return open0, open1, open2, open3
 
-    jax.lax.fori_loop(0, n_active, body, 0)
+    full = jnp.int32(-1)
+    if not _GROUPED_EARLY_OUT:
+        jax.lax.fori_loop(0, n_active, body, (full, full, full, full))
+    else:
+        # Front-to-back early-out: the schedule is sorted by quantized
+        # entry distance, so the BIN lower edge of the block's first
+        # cluster bounds every remaining cluster's closest possible
+        # hit; groups whose every ray's interest (best-hit-or-exit) is
+        # closer are finished. The refresh runs STRAIGHT-LINE once per
+        # _EARLY_BLOCK clusters (an outer while): the same reductions
+        # inside a lax.cond hang the Mosaic compiler.
+        def outer(carry):
+            kbase, _, _, _, _ = carry
+            key0 = sched[kbase]
+            bucket = (key0 >> _BUCKET_SHIFT) & (
+                (_BUCKETS - 1) ^ ((1 << _BIN_SUB_BITS) - 1)
+            )
+            bound = lo + bucket.astype(jnp.float32) * step
+            grp_open = jnp.max(
+                (gbest[...] >= bound).astype(jnp.float32),
+                axis=0, keepdims=True,
+            )                                          # (1, 128)
+            words = []
+            for h in range(8):
+                words.append(jnp.sum(jnp.where(
+                    (seg16[0:1, :] == h) & (grp_open > 0.0),
+                    hw16[0:1, :], 0.0,
+                )).astype(jnp.int32))
+            ow = (words[0] | (words[1] << 16),
+                  words[2] | (words[3] << 16),
+                  words[4] | (words[5] << 16),
+                  words[6] | (words[7] << 16))
+            kend = jnp.minimum(kbase + _EARLY_BLOCK, n_active)
+            _ = jax.lax.fori_loop(kbase, kend, body, ow)
+            any_open = ow[0] | ow[1] | ow[2] | ow[3]
+            return kend, any_open, ow[1], ow[2], ow[3]
+
+        def outer_cond(carry):
+            kbase, any_open, _, _, _ = carry
+            return (kbase < n_active) & (any_open != 0)
+
+        fin = jax.lax.while_loop(
+            outer_cond, outer, (jnp.int32(0), full, full, full, full)
+        )
+        # DMAs are issued _DMA_RING-1 ahead of the wait point; on an
+        # early exit retire anything still in flight so the kernel
+        # never ends with an armed semaphore.
+        kfin = fin[0]
+
+        def drain(k, carry):
+            @pl.when((k >= kfin) & (k < n_active))
+            def _():
+                get_dma(jax.lax.rem(k, _DMA_RING), k).wait()
+
+            return carry
+
+        jax.lax.fori_loop(
+            kfin, jnp.minimum(kfin + _DMA_RING - 1, n_active), drain, 0
+        )
 
     # ---- final vectorized winner resolution (one pass over groups)
     tacc = jnp.full((GROUP, RAY_TILE), jnp.inf)
@@ -1962,7 +2073,7 @@ def pallas_closest_tuv_dma_grouped(tri_pack, cluster_min, cluster_max,
 
     comps = [tcomp(o[:, 0]), tcomp(o[:, 1]), tcomp(o[:, 2]),
              tcomp(d[:, 0]), tcomp(d[:, 1]), tcomp(d[:, 2])]
-    count, keys, gmask = _cluster_list_groups(
+    count, keys, gmask, lostep, texit = _cluster_list_groups(
         cluster_min, cluster_max, comps, t_min, b
     )
     cpad = keys.shape[1]
@@ -1988,17 +2099,23 @@ def pallas_closest_tuv_dma_grouped(tri_pack, cluster_min, cluster_max,
     t, idx = pl.pallas_call(
         _kernel_grouped_dma,
         grid=(tiles,),
-        in_specs=[
+    in_specs=[
             pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, cpad), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, cpad, 4), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 2), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ]
         + [bray_spec] * 6
-        + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+        + [
+            pl.BlockSpec((1, GROUP, RAY_TILE), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
         out_specs=[ray_spec, ray_spec],
         out_shape=[
             jax.ShapeDtypeStruct((tiles * GROUP, RAY_TILE), jnp.float32),
@@ -2013,13 +2130,16 @@ def pallas_closest_tuv_dma_grouped(tri_pack, cluster_min, cluster_max,
                        jnp.float32),
             pltpu.VMEM((GROUP, GROUPS_PER_TILE * TRI_CHUNK),
                        jnp.int32),
+            pltpu.VMEM((GROUP, RAY_TILE), jnp.float32),
         ],
     )(
         count.reshape(tiles, 1, 1),
         keys[:, None, :],
         gmask,
+        lostep[:, None, :],
         tri_pack,
         *bcomps,
+        texit,
         jnp.full((1,), t_min, jnp.float32),
     )
 
