@@ -72,12 +72,9 @@ def main():
         active = (k & (1 << 30)) == 0
         bits = np.zeros(gm.shape[:2], np.int64)
         for w in range(4):
-            x = gm[:, :, w]
-            bits += np.unpackbits(
-                x.view(np.uint8), axis=-1, count=None
-            ).reshape(x.shape + (32,)).sum(-1).astype(np.int64) \
-                if False else np.vectorize(lambda v: bin(v).count('1'))(
-                    x).astype(np.int64)
+            bits += np.vectorize(
+                lambda v: bin(v).count("1")
+            )(gm[:, :, w]).astype(np.int64)
         pairs = int(bits[active].sum())
         print(f"{tag}: glue+prepass {ms_glue:.2f} ms, full "
               f"{ms_full:.2f} ms -> kernel ~{ms_full-ms_glue:.2f} ms; "
