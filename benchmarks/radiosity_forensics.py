@@ -365,13 +365,14 @@ def main():
                     img, ref)["interior_rel_rmse"]
         out["img_interior_rel_rmse"] = dict(
             sorted(img_grid.items(), key=lambda kv: kv[1]))
-        best_disp = min(disp.items(),
-                        key=lambda kv: grid[f"mc64/{kv[0]}"])
-        dfn = best_disp[1]
-        dd = (dfn(candidates["mc64"].astype(np.float64))
-              - dfn(candidates["mc64b"].astype(np.float64)))[sel]
-        out["mc_self_noise_u8"] = round(
-            float(np.sqrt((dd ** 2).mean())), 2)
+        if "mc64" in candidates and "mc64b" in candidates:
+            best_disp = min(disp.items(),
+                            key=lambda kv: grid[f"mc64/{kv[0]}"])
+            dfn = best_disp[1]
+            dd = (dfn(candidates["mc64"].astype(np.float64))
+                  - dfn(candidates["mc64b"].astype(np.float64)))[sel]
+            out["mc_self_noise_u8"] = round(
+                float(np.sqrt((dd ** 2).mean())), 2)
 
         if n <= 64:
             tab = []
