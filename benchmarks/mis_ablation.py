@@ -60,13 +60,15 @@ def main():
         r.reset_stats()
         t0 = time.time()
         n = 0
-        while n < 3 or (time.time() - t0 < 6.0 and n < 16):
+        while n < 3 or (time.time() - t0 < 4.0 and n < 10):
             r.step(block=False)
             n += 1
         r.sync()
         return r.mrays_per_sec
 
+    print("solved; benching real...", flush=True)
     real = bench()
+    print("real", round(real, 1), flush=True)
 
     orig = G._fetch_rows
 
@@ -79,6 +81,7 @@ def main():
         return orig(table, idx)
 
     G._fetch_rows = ablated
+    print("benching ablated...", flush=True)
     try:
         abl = bench()
     finally:
