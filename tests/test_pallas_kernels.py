@@ -377,3 +377,50 @@ class TestGroupedDMA:
         np.testing.assert_allclose(
             np.asarray(t0), np.asarray(t1), rtol=1e-6
         )
+
+
+class TestGroupedPrepass:
+    def test_log2_onehot_all_bits(self):
+        """Branch-free single-bit log2 must be exact for every bit,
+        including bit 31 (m-1 wraps)."""
+        vals = jnp.left_shift(jnp.int32(1), jnp.arange(32, dtype=jnp.int32))
+        got = jax.jit(jax.vmap(ip._log2_onehot))(vals)
+        np.testing.assert_array_equal(np.asarray(got), np.arange(32))
+
+    def test_group_masks_cover_hit_clusters(self):
+        """The group prepass must never drop a (group, cluster) pair in
+        which some ray of the group hits a triangle of the cluster."""
+        geom = subdivide(cornell_box("quads"), 2).build()
+        cs = ip.CulledScene(geom)
+        n = ip.ray_batch_multiple()
+        o, d = rays(n, seed=13)
+        tiles = n // ip.RAYS_PER_TILE
+
+        def tcomp(x):
+            return (
+                x.reshape(tiles, ip.GROUPS_PER_TILE, ip.GROUP)
+                .transpose(0, 2, 1)
+                .reshape(tiles * ip.GROUP, ip.RAY_TILE)
+            )
+
+        comps = [tcomp(o[:, 0]), tcomp(o[:, 1]), tcomp(o[:, 2]),
+                 tcomp(d[:, 0]), tcomp(d[:, 1]), tcomp(d[:, 2])]
+        _, _, gmask, _, _ = ip._cluster_list_groups(
+            cs.cluster_min, cs.cluster_max, comps, 1e-4, n
+        )
+        gm = np.asarray(gmask)
+
+        hit = cs.closest_hit(geom, o, d)
+        t = np.asarray(hit.t)
+        # recover each ray's winning reordered triangle -> cluster
+        tt, ridx = ip.pallas_closest_tuv_dma_grouped(
+            cs.tri_pack, cs.cluster_min, cs.cluster_max, o, d
+        )
+        ridx = np.asarray(ridx)
+        valid = np.isfinite(np.asarray(tt))
+        for i in np.where(valid)[0][::97]:
+            tile = i // ip.RAYS_PER_TILE
+            g = (i % ip.RAYS_PER_TILE) // ip.GROUP
+            c = ridx[i] // ip.TRI_CHUNK
+            word, bit = g // 32, g % 32
+            assert (gm[tile, c, word] >> bit) & 1, (i, tile, g, c)
