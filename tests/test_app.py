@@ -151,3 +151,33 @@ class TestViewerSet:
         assert changed == {"spp"}
         assert state.app.geom is geom  # no reload
         assert state.app._renderer is None  # accumulation restarted
+
+
+class TestLegacyRadiosityDisplay:
+    def test_legacy_display_light_is_251(self):
+        """The reference's published sweep PNGs show the light at
+        exactly u8=251 (Reinhard+gamma of B=Le=25, counted once) while
+        the current code's sqrt display saturates at 255 — the
+        forensically identified transform must reproduce 251."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from tpu_pathtracer.render.camera import CameraController
+        from tpu_pathtracer.render.renderer import (
+            RenderSettings,
+            render_radiosity_view,
+        )
+        from tpu_pathtracer.scene.builtin import cornell_box
+
+        geom = cornell_box("quads").build()
+        cam = CameraController.default().build()
+        s = RenderSettings(width=96, height=96, spp_per_pass=1,
+                           ray_chunk=96 * 96)
+        rad = geom.emission  # emission-only state (step 0)
+        legacy = np.asarray(render_radiosity_view(
+            geom, rad, cam, jax.random.key(0), s, display="legacy"))
+        current = np.asarray(render_radiosity_view(
+            geom, rad, cam, jax.random.key(0), s))
+        assert legacy.max() == 251
+        assert current.max() == 255

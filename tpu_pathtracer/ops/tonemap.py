@@ -22,3 +22,16 @@ def tonemap_radiosity(linear):
     """(..., 3) radiosity -> (..., 3) uint8 via sqrt gamma."""
     c = jnp.sqrt(jnp.minimum(jnp.maximum(linear, 0.0), 1.0))
     return (255.99 * c).astype(jnp.uint8)
+
+
+def tonemap_radiosity_legacy(linear):
+    """(..., 3) radiosity -> (..., 3) uint8 via Reinhard + gamma 1/2.2.
+
+    The display the reference's PUBLISHED sweep PNGs actually use
+    (outputs/cbox_sub*_step*.png): forensically identified in round 3 —
+    every sweep light pixel is u8=251 = Reinhard+gamma of c=25, and the
+    emission-only sub4 step0 frame matches this transform EXACTLY while
+    the current code's sqrt display (tonemap_radiosity) saturates at
+    255. Unlike tonemap_radiosity the input here is B alone (emission
+    already included by the solver), not Le + B."""
+    return tonemap_pt(linear)

@@ -215,7 +215,8 @@ def render_pass(
     return film, jnp.sum(rays)
 
 
-@partial(jax.jit, static_argnames=("settings", "include_emission"))
+@partial(jax.jit,
+         static_argnames=("settings", "include_emission", "display"))
 def render_radiosity_view(
     geom: Geometry,
     radiosity: jax.Array,
@@ -223,11 +224,17 @@ def render_radiosity_view(
     key: jax.Array,
     settings: RenderSettings,
     include_emission: bool = True,
+    display: str = "current",
 ):
     """Direct radiosity visualization (render_radiosity,
     integrator.h:460-504): primary hit -> Le + B_i, sqrt gamma, u8.
     With include_emission=False it visualizes an arbitrary per-primitive
     color field (used for radiosity-history delta images).
+
+    display="legacy" reproduces the reference's PUBLISHED sweep PNGs
+    instead of its current code: Reinhard + gamma 1/2.2 of B alone
+    (see ops.tonemap.tonemap_radiosity_legacy; include_emission is
+    ignored — the solver's B already contains Le once).
 
     Args:
         radiosity: (N, 3) solved per-primitive radiosity.
@@ -256,7 +263,7 @@ def render_radiosity_view(
             o, d = camera.get_rays(u, v)
             hit = trace_primary(geom, o, d)
             base = radiosity[hit.prim]
-            if include_emission:
+            if include_emission and display != "legacy":
                 base = base + hit.emission
             c = jnp.where(hit.valid[:, None], base, 0.0)
             return acc + c, None
@@ -271,6 +278,10 @@ def render_radiosity_view(
     chunk_ids = jnp.arange(chunks.shape[0], dtype=jnp.int32)
     color = jax.lax.map(do_chunk, (chunk_ids, chunks))
     color = color.reshape(npad, 3)[:npix].reshape(s.height, s.width, 3)
+    if display == "legacy":
+        from ..ops.tonemap import tonemap_radiosity_legacy
+
+        return tonemap_radiosity_legacy(color)
     return tonemap_radiosity(color)
 
 
