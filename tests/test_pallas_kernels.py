@@ -231,6 +231,13 @@ class TestTileSwizzle:
         # each 1024-lane kernel tile is a 32x32 pixel tile
         xs, ys = perm[:1024] % 64, perm[:1024] // 64
         assert xs.max() - xs.min() == 31 and ys.max() - ys.min() == 31
+        # each 8-lane group (grouped-kernel cull granule) is a compact
+        # 4x2 pixel sub-block, not an 8x1 strip
+        for start in range(0, 4096, 8):
+            xs = perm[start:start + 8] % 64
+            ys = perm[start:start + 8] // 64
+            assert xs.max() - xs.min() == 3
+            assert ys.max() - ys.min() == 1
 
     def test_non_tileable_images_fall_back(self):
         from tpu_pathtracer.render.renderer import _tile_swizzle

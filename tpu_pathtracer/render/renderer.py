@@ -76,8 +76,12 @@ def _tile_swizzle(w: int, h: int, npix: int):
     blk, i = divmod(r, 128)
     tx, ty = tile % (w // 32), tile // (w // 32)
     bx, by = blk % 2, blk // 2
-    x = tx * 32 + bx * 16 + i % 16
-    y = ty * 32 + by * 8 + i // 16
+    # within a 128-lane row, each 8-lane GROUP (the grouped kernel's
+    # cull granule) covers a compact 4x2 pixel sub-block instead of an
+    # 8x1 strip — a rounder frustum per group, fewer touched clusters
+    g, s = divmod(i, 8)
+    x = tx * 32 + bx * 16 + (g % 4) * 4 + s % 4
+    y = ty * 32 + by * 8 + (g // 4) * 2 + s // 4
     perm = (y * w + x).astype(np.int32)
     inv = np.empty_like(perm)
     inv[perm] = lane.astype(np.int32)
