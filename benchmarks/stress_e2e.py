@@ -19,6 +19,8 @@ def main():
     ap.add_argument("--spp", type=int, default=8)
     ap.add_argument("--res", type=int, default=256)
     ap.add_argument("--depth", type=int, default=4)
+    ap.add_argument("--chunk", type=int, default=16,
+                    help="log2 ray chunk (17 ok, 18 hangs the compiler)")
     args = ap.parse_args()
 
     from tpu_pathtracer.ops.intersect_pallas import CulledScene
@@ -41,7 +43,7 @@ def main():
     ).build()
     s = RenderSettings(
         width=args.res, height=args.res, max_depth=args.depth,
-        spp_per_pass=args.spp, ray_chunk=1 << 16, wavefront=True,
+        spp_per_pass=args.spp, ray_chunk=1 << args.chunk, wavefront=True,
         sort_rays=args.sort,
     )
     r = ProgressiveRenderer(geom, cam, s, culled=CulledScene(geom))

@@ -23,6 +23,7 @@ zero inverse -> t = NaN -> ordered comparisons reject).
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -660,7 +661,11 @@ class CulledScene:
                 t_min, sort_rays=self.sort_rays,
             )
         valid = jnp.isfinite(t) & (t < t_max)
-        row = self.attr_table[jnp.where(valid, ridx, 0)]  # one gather
+        if os.environ.get("TPT_ABLATE_ATTR_GATHER"):
+            # perf ablation only: wrong attrs, same shapes/dtypes
+            row = jnp.broadcast_to(self.attr_table[0:1], (o.shape[0], 16))
+        else:
+            row = self.attr_table[jnp.where(valid, ridx, 0)]  # one gather
         p = o + jnp.where(valid, t, 0.0)[:, None] * d
         return Hit(
             valid=valid,
@@ -1808,6 +1813,9 @@ def _kernel_grouped_dma(count_ref, key_ref, gmask_ref, lostep_ref,
                         gbest):
     n_active = count_ref[0, 0, 0]
     t_min = tmin_ref[0]
+    # (t > 1e-8) & (t >= t_min) == t >= max(nextafter(1e-8f), t_min):
+    # one fused compare per pair instead of two compares + an and.
+    t_cut = jnp.maximum(jnp.float32(1.000000082740371e-08), t_min)
     lo = lostep_ref[0, 0, 0]
     step = lostep_ref[0, 0, 1]
     cpad = key_ref.shape[2]
@@ -1914,8 +1922,13 @@ def _kernel_grouped_dma(count_ref, key_ref, gmask_ref, lostep_ref,
 
         trb = scratch[slot]                    # (16, 128)
 
-        def row(kk):
-            return trb[kk:kk+1, :]             # (1, 128)
+        # the 12 affine rows are invariant across this cluster's popped
+        # groups: load + sublane-broadcast them ONCE per cluster visit
+        # instead of once per (group, cluster) pair (measured 58 ->
+        # fewer cycles/pair; the walk pops ~2.3-10 groups per visit)
+        (r0, r1, r2, r3, r4, r5, r6, r7, r8, r9, r10, r11) = [
+            trb[kk:kk+1, :] for kk in range(12)
+        ]
 
         ids_lane = tri_iota + cid * TRI_CHUNK
 
@@ -1931,33 +1944,37 @@ def _kernel_grouped_dma(count_ref, key_ref, gmask_ref, lostep_ref,
 
             rox, roy, roz = ext(ox), ext(oy), ext(oz)
             rdx, rdy, rdz = ext(dx), ext(dy), ext(dz)
-            os_ = row(6) * rox + row(7) * roy + row(8) * roz - row(11)
-            ds_ = row(6) * rdx + row(7) * rdy + row(8) * rdz
+            os_ = r6 * rox + r7 * roy + r8 * roz - r11
+            ds_ = r6 * rdx + r7 * rdy + r8 * rdz
             t = -os_ / ds_
             u = (
-                row(0) * rox + row(1) * roy + row(2) * roz - row(9)
-            ) + t * (row(0) * rdx + row(1) * rdy + row(2) * rdz)
+                r0 * rox + r1 * roy + r2 * roz - r9
+            ) + t * (r0 * rdx + r1 * rdy + r2 * rdz)
             v = (
-                row(3) * rox + row(4) * roy + row(5) * roz - row(10)
-            ) + t * (row(3) * rdx + row(4) * rdy + row(5) * rdz)
+                r3 * rox + r4 * roy + r5 * roz - r10
+            ) + t * (r3 * rdx + r4 * rdy + r5 * rdz)
+            # fused predicate: min(u,v)>=0 == (u>=0)&(v>=0); t>=t_cut
+            # == (t>1e-8)&(t>=t_min) (see t_cut above). NaN lanes
+            # (ds_==0) fail every compare either way.
             ok = (
-                (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
-                & (t > 1e-8) & (t >= t_min)
+                (jnp.minimum(u, v) >= 0.0) & (u + v <= 1.0)
+                & (t >= t_cut)
             )
-            tt = jnp.where(ok, t, jnp.inf)     # (8, 128)
             off = g * TRI_CHUNK
             tcur = tcand[:, pl.ds(off, TRI_CHUNK)]
             icur = icand[:, pl.ds(off, TRI_CHUNK)]
-            better = tt < tcur
+            better = ok & (t < tcur)
             tcand[:, pl.ds(off, TRI_CHUNK)] = jnp.where(
-                better, tt, tcur
+                better, t, tcur
             )
             icand[:, pl.ds(off, TRI_CHUNK)] = jnp.where(
                 better, ids_lane, icur
             )
             if _GROUPED_EARLY_OUT:
                 # shrink this group's interest for the early-out
-                tw = jnp.min(tt, axis=1, keepdims=True)      # (8, 1)
+                tw = jnp.min(
+                    jnp.where(ok, t, jnp.inf), axis=1, keepdims=True
+                )                                            # (8, 1)
                 sel = lane_iota == g
                 gbest[...] = jnp.where(
                     sel, jnp.minimum(gbest[...], tw), gbest[...]
