@@ -127,6 +127,64 @@ def classify_op(name: str, long_name: str) -> str:
     return "shading/other"
 
 
+def _bucket_exclusive(raw):
+    """Bucket trace events by phase using EXCLUSIVE durations.
+
+    `raw`: iterable of (pid, tid, ts_us, dur_us, name, long_name).
+
+    Container ops (`while`, call wrappers) appear on the XLA Ops track
+    as one event spanning their whole body, with every body op emitted
+    again as a nested event. Summing raw durations double-counts loop
+    bodies (a 46 ms `while` once mis-bucketed the stress pass as 52%
+    "shading" when 81% of its body was the intersection kernel). A
+    per-thread stack sweep subtracts each event's DIRECT children, so
+    every device-busy microsecond is counted exactly once.
+
+    Returns (seconds: {phase: s}, per_op: {name: [excl_s, count,
+    [excl_call_s...<=32]]}, n_ops).
+    """
+    seconds: dict = {}
+    per_op: dict = {}
+    n_ops = 0
+    by_tid: dict = {}
+    for pid, tid, ts, dur, name, long_name in raw:
+        by_tid.setdefault((pid, tid), []).append(
+            (ts, dur, name, long_name)
+        )
+
+    deferred = []          # (name, phase, dur, stack_cell)
+    for evs in by_tid.values():
+        # parents sort before their children: earlier start first,
+        # longer duration first at equal starts
+        evs.sort(key=lambda r: (r[0], -r[1]))
+        stack: list = []   # [ts_end, child_sum] per open ancestor
+        for ts, dur, name, long_name in evs:
+            while stack and stack[-1][0] <= ts + 1e-9:
+                stack.pop()
+            if stack:
+                stack[-1][1] += dur      # direct child of stack[-1]
+            cell = [ts + dur, 0.0]
+            stack.append(cell)
+            ent = per_op.get(name)
+            if ent is None:
+                per_op[name] = ent = [0.0, 0, []]
+            ent[1] += 1
+            n_ops += 1
+            # child_sum keeps mutating while descendants are swept —
+            # resolve the exclusive duration after the sweep
+            deferred.append((name, classify_op(name, long_name),
+                             dur, cell))
+
+    for name, phase, dur, cell in deferred:
+        excl = max(0.0, dur - cell[1]) / 1e6
+        seconds[phase] = seconds.get(phase, 0.0) + excl
+        ent = per_op[name]
+        ent[0] += excl
+        if len(ent[2]) < 32:
+            ent[2].append(excl)
+    return seconds, per_op, n_ops
+
+
 def kernel_profile_traced(step_fn, *args, log_dir=None) -> dict:
     """Phase breakdown measured INSIDE one real fused device program.
 
@@ -170,31 +228,19 @@ def kernel_profile_traced(step_fn, *args, log_dir=None) -> dict:
         ) == "XLA Ops":
             op_tids.setdefault(e.get("pid"), set()).add(e.get("tid"))
 
-    seconds: dict = {}
-    per_op: dict = {}
-    n_ops = 0
+    raw = []
     for e in events:
         if e.get("ph") != "X" or e.get("pid") not in device_pids:
             continue
         if e.get("tid") not in op_tids.get(e.get("pid"), ()):
             continue
-        name = str(e.get("name", ""))
-        phase = classify_op(
-            name, str(e.get("args", {}).get("long_name", ""))
-        )
-        dur = e.get("dur", 0.0) / 1e6
-        seconds[phase] = seconds.get(phase, 0.0) + dur
-        ent = per_op.get(name)
-        if ent is None:
-            ent = [0.0, 0, []]
-            per_op[name] = ent
-        ent[0] += dur
-        ent[1] += 1
-        # the report only shows the first 32 per-call durations — cap the
-        # list so huge traces don't accumulate O(n) floats per op
-        if len(ent[2]) < 32:
-            ent[2].append(dur)
-        n_ops += 1
+        raw.append((
+            e.get("pid"), e.get("tid"),
+            float(e.get("ts", 0.0)), float(e.get("dur", 0.0)),
+            str(e.get("name", "")),
+            str(e.get("args", {}).get("long_name", "")),
+        ))
+    seconds, per_op, n_ops = _bucket_exclusive(raw)
     total = sum(seconds.values()) or 1.0
     top = sorted(per_op.items(), key=lambda kv: -kv[1][0])[:15]
     return {
