@@ -62,7 +62,7 @@ def main():
 
     for tag, (o, d) in (("coherent", (o_c, d_c)),
                         ("incoherent", (o_i, d_i))):
-        ms_glue, (count, keys, gmask) = timeit(glue, o, d)
+        ms_glue, (count, keys, gmask, _lostep, _texit) = timeit(glue, o, d)
         ms_full, _ = timeit(
             ip.pallas_closest_tuv_dma_grouped,
             cs.tri_pack, cs.cluster_min, cs.cluster_max, o, d)

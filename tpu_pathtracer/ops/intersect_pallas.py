@@ -380,7 +380,8 @@ def pallas_closest_hit(geom: Geometry, tri_pack, o, d, t_min=1e-4,
 #
 # Beyond a few thousand triangles, brute force wastes compute and the
 # lockstep BVH walk drowns in XLA gathers. The TPU-native middle ground:
-# triangles are Morton-ordered and grouped into 128-triangle clusters (the
+# triangles are spatially ordered (median_split_order; morton_order kept
+# as the cheaper fallback) and grouped into 128-triangle clusters (the
 # kernel's natural chunk); a cheap XLA pre-pass tests each 1024-ray tile's
 # rays against cluster AABBs and ORs them into a per-tile cluster mask; the
 # kernel then `lax.cond`-skips masked-out chunks. Spatially coherent ray
@@ -415,6 +416,44 @@ def morton_order(geom: Geometry) -> np.ndarray:
         q[:, 2]
     )
     return np.argsort(code, kind="stable").astype(np.int32)
+
+
+def median_split_order(geom: Geometry) -> np.ndarray:
+    """Triangle permutation by recursive longest-axis object-median split.
+
+    Split points snap to multiples of TRI_CHUNK, so the consecutive
+    128-triangle blocks that become cull clusters are the LEAVES of the
+    split tree — spatially compact boxes instead of arbitrary Morton-run
+    spans. Same cluster count, same pack layout, same kernels; measured
+    on stress100k (benchmarks/cluster_quality.py): group→cluster pair
+    count 86.3k → 36.4k coherent (2.37x) and 30.4k → 16.2k incoherent
+    (1.87x) vs morton_order. Plays the role of the reference's BVH
+    build quality (reference include/rendering/bvh.h:64-120 midpoint
+    split) for the cluster schedule.
+    """
+    v0 = np.asarray(geom.tri_v0)
+    v1 = v0 + np.asarray(geom.tri_e1)
+    v2 = v0 + np.asarray(geom.tri_e2)
+    cen = 0.5 * (np.minimum(np.minimum(v0, v1), v2)
+                 + np.maximum(np.maximum(v0, v1), v2))
+    out = []
+
+    def rec(idx):
+        if idx.shape[0] <= TRI_CHUNK:
+            out.append(idx)
+            return
+        c = cen[idx]
+        axis = int(np.argmax(c.max(0) - c.min(0)))
+        idx = idx[np.argsort(c[:, axis], kind="stable")]
+        half = idx.shape[0] // 2
+        k = max(TRI_CHUNK, (half // TRI_CHUNK) * TRI_CHUNK)
+        if k >= idx.shape[0]:
+            k = idx.shape[0] - TRI_CHUNK
+        rec(idx[:k])
+        rec(idx[k:])
+
+    rec(np.arange(cen.shape[0], dtype=np.int32))
+    return np.concatenate(out)
 
 
 def pack_triangles_ordered(geom: Geometry, order: np.ndarray):
@@ -611,7 +650,7 @@ class CulledScene:
             (self.tri_pack, self.cluster_min, self.cluster_max,
              self.attr_table) = _leaves
             return
-        self.order = morton_order(geom)
+        self.order = median_split_order(geom)
         self.tri_pack, self.cluster_min, self.cluster_max = (
             pack_triangles_ordered(geom, self.order)
         )
@@ -1790,6 +1829,14 @@ def _cluster_list_groups(cluster_min, cluster_max, comps, t_min, b):
         | (bucket << _BUCKET_SHIFT)
         | iota
     )
+    # Front-to-back compacted schedule in the glue: XLA's minor-dim
+    # sort of (tiles, cpad) i32 costs ~0.02 ms (the 3.8 ms round-2
+    # number was ONE 64k-long sort) — the in-kernel scalar counting
+    # sort/compaction it replaces measured ~20k cycles/tile (1.3 ms of
+    # a 2.2 ms kernel, benchmarks/visit_probe.py). Inactive keys carry
+    # bit 30 and sink to the tail; active ones order by (distance
+    # bucket, cluster id).
+    keys = jnp.sort(keys, axis=-1)
     lostep = jnp.stack([lo, step], axis=1)          # (tiles, 2)
     return count, keys, gmask, lostep, texit
 
@@ -1809,7 +1856,7 @@ def _kernel_grouped_dma(count_ref, key_ref, gmask_ref, lostep_ref,
                         tri_hbm,
                         ox, oy, oz, dx, dy, dz, texit, tmin_ref,
                         t_out, id_out,
-                        sched, hist, scratch, sem, tcand, icand,
+                        scratch, sem, tcand, icand,
                         gbest):
     n_active = count_ref[0, 0, 0]
     t_min = tmin_ref[0]
@@ -1819,50 +1866,17 @@ def _kernel_grouped_dma(count_ref, key_ref, gmask_ref, lostep_ref,
     lo = lostep_ref[0, 0, 0]
     step = lostep_ref[0, 0, 1]
     cpad = key_ref.shape[2]
-    bin_shift = _BUCKET_SHIFT + _BIN_SUB_BITS
 
-    # ---- counting sort of active keys by distance bin (scalar core)
-    def zero(i, carry):
-        hist[i] = 0
-        return carry
-
-    jax.lax.fori_loop(0, _SORT_BINS, zero, 0)
-
-    def cnt(i, carry):
-        k = key_ref[0, 0, i]
-
-        @pl.when(k < (1 << 30))
-        def _():
-            bb = (k >> bin_shift) & (_SORT_BINS - 1)
-            hist[bb] = hist[bb] + 1
-
-        return carry
-
-    jax.lax.fori_loop(0, cpad, cnt, 0)
-
-    def pfx(i, acc):
-        n = hist[i]
-        hist[i] = acc
-        return acc + n
-
-    jax.lax.fori_loop(0, _SORT_BINS, pfx, 0)
-
-    def place(i, carry):
-        k = key_ref[0, 0, i]
-
-        @pl.when(k < (1 << 30))
-        def _():
-            bb = (k >> bin_shift) & (_SORT_BINS - 1)
-            p = hist[bb]
-            sched[p] = k
-            hist[bb] = p + 1
-
-        return carry
-
-    jax.lax.fori_loop(0, cpad, place, 0)
+    # The schedule arrives pre-sorted and compacted from the glue
+    # (jnp.sort in _cluster_list_groups): entries [0, n_active) are the
+    # active clusters front-to-back. The in-kernel scalar counting
+    # sort/compaction this replaces measured ~20k cycles/tile (1.3 ms
+    # of a 2.2 ms kernel at 64k rays — benchmarks/visit_probe.py).
+    def sched(k):
+        return key_ref[0, 0, k]
 
     def get_dma(slot, k):
-        cid = sched[k] & (_MAX_CLUSTERS - 1)
+        cid = sched(k) & (_MAX_CLUSTERS - 1)
         return pltpu.make_async_copy(
             tri_hbm.at[:, pl.ds(cid * TRI_CHUNK, TRI_CHUNK)],
             scratch.at[slot],
@@ -1917,7 +1931,7 @@ def _kernel_grouped_dma(count_ref, key_ref, gmask_ref, lostep_ref,
 
         get_dma(slot, k).wait()
 
-        key = sched[k]
+        key = sched(k)
         cid = key & (_MAX_CLUSTERS - 1)
 
         trb = scratch[slot]                    # (16, 128)
@@ -2020,7 +2034,7 @@ def _kernel_grouped_dma(count_ref, key_ref, gmask_ref, lostep_ref,
         # inside a lax.cond hang the Mosaic compiler.
         def outer(carry):
             kbase, _, _, _, _ = carry
-            key0 = sched[kbase]
+            key0 = sched(kbase)
             bucket = (key0 >> _BUCKET_SHIFT) & (
                 (_BUCKETS - 1) ^ ((1 << _BIN_SUB_BITS) - 1)
             )
@@ -2084,13 +2098,21 @@ def _kernel_grouped_dma(count_ref, key_ref, gmask_ref, lostep_ref,
     id_out[...] = jnp.where(jnp.isfinite(tacc), iacc, 0)
 
 
-@jax.jit
+@partial(jax.jit, static_argnames=("zero_mask", "parallel", "zero_sched"))
 def pallas_closest_tuv_dma_grouped(tri_pack, cluster_min, cluster_max,
-                                   o, d, t_min=1e-4):
+                                   o, d, t_min=1e-4, *,
+                                   zero_mask=False, parallel=False,
+                                   zero_sched=False):
     """(t, reordered tri idx) closest hit, 8-ray-group cull granularity.
 
-    Same scene inputs as pallas_closest_tuv_dma (transposed Morton-
-    clustered tri_pack + cluster AABBs); any batch size."""
+    Same scene inputs as pallas_closest_tuv_dma (transposed spatially-
+    clustered tri_pack + cluster AABBs); any batch size.
+
+    zero_mask=True is a PROBE ONLY: the schedule walk runs with all
+    group masks zeroed (every cluster visit happens, no pair is
+    processed), isolating per-visit overhead. parallel=True marks the
+    tile grid dimension parallel so Mosaic may split it across
+    TensorCores (megacore)."""
     (o, d), b0 = _pad_rays(o, d)
     b = o.shape[0]
     tiles = b // RAYS_PER_TILE
@@ -2107,6 +2129,13 @@ def pallas_closest_tuv_dma_grouped(tri_pack, cluster_min, cluster_max,
     count, keys, gmask, lostep, texit = _cluster_list_groups(
         cluster_min, cluster_max, comps, t_min, b
     )
+    if zero_mask:
+        gmask = gmask * 0
+    if zero_sched:
+        # PROBE ONLY: empty schedule — the kernel still scans keys for
+        # compaction but visits nothing (per-tile floor measurement)
+        count = count * 0
+        keys = keys | (1 << 30)
     cpad = keys.shape[1]
 
     # per-tile comp blocks pre-broadcast over lanes: ray r of the tile
@@ -2130,6 +2159,11 @@ def pallas_closest_tuv_dma_grouped(tri_pack, cluster_min, cluster_max,
     t, idx = pl.pallas_call(
         _kernel_grouped_dma,
         grid=(tiles,),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=(
+                "parallel" if parallel else "arbitrary",
+            ),
+        ),
     in_specs=[
             pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
@@ -2153,8 +2187,6 @@ def pallas_closest_tuv_dma_grouped(tri_pack, cluster_min, cluster_max,
             jax.ShapeDtypeStruct((tiles * GROUP, RAY_TILE), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.SMEM((cpad,), jnp.int32),
-            pltpu.SMEM((_SORT_BINS,), jnp.int32),
             pltpu.VMEM((_DMA_RING, 16, TRI_CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA((_DMA_RING,)),
             pltpu.VMEM((GROUP, GROUPS_PER_TILE * TRI_CHUNK),
