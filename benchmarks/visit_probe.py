@@ -59,7 +59,6 @@ def main():
         "real": dict(),
         "zero_mask": dict(zero_mask=True),
         "zero_sched": dict(zero_sched=True),
-        "parallel": dict(parallel=True),
     }
     ref = {}
     for tag, (o, d) in (("coherent", (o_c, d_c)),

@@ -1634,6 +1634,10 @@ GROUP = 8               # rays per cull group (sublane dim)
 GROUPS_PER_TILE = RAYS_PER_TILE // GROUP   # 128 = one lane row
 _DMA_RING = 8           # cluster-stream prefetch depth (hides DMA latency
                         # when per-cluster compute is a few group visits)
+_SKIP_EXPAND = False        # probe only: skip the comp expansion
+_SKIP_RESOLVE = False       # probe only: skip winner resolution
+_SKIP_FILLS = False         # probe only: skip accumulator fills
+_SKIP_WALK = False          # probe only: compile out the schedule walk
 _GROUPED_EARLY_OUT = False  # group-level front-to-back exit: measured NET-NEGATIVE
                             # on stress100k (coherent 10.2 -> 13.1 ms: the
                             # per-pair gbest update exceeds the pair savings);
@@ -1852,20 +1856,75 @@ def _log2_onehot(m):
     return (x * 0x01010101) >> 24
 
 
-def _kernel_grouped_dma(count_ref, key_ref, gmask_ref, lostep_ref,
-                        tri_hbm,
-                        ox, oy, oz, dx, dy, dz, texit, tmin_ref,
-                        t_out, id_out,
+def _kernel_grouped_dma(count_ref, lostep_ref, tmin_ref,
+                        sched_hbm, comp_hbm, tri_hbm,
+                        out_ref,
                         scratch, sem, tcand, icand,
-                        gbest):
-    n_active = count_ref[0, 0, 0]
+                        gbest, smem_ring, smem_sem,
+                        comp_ring, comp_sem, bcast):
+    # Per-tile inputs (schedule keys + group masks -> SMEM; lane-
+    # broadcast ray comps + exit bounds -> VMEM) are DMA'd BY THE
+    # KERNEL through 2-deep rings primed one grid step ahead. Mosaic's
+    # own per-step block copies do NOT overlap the body at all
+    # (benchmarks/visit_probe.py: an empty body still costs 13 us/tile
+    # and dummy compute is fully additive; block-granular SMEM copies
+    # add 7.6 us/tile at Cpad=896) — manual prefetch hides the whole
+    # ~20.6 us/tile input floor behind the previous tile's walk.
+    i = pl.program_id(0)
+    n_tiles = pl.num_programs(0)
+    cur = jax.lax.rem(i, 2)
+    nxt = jax.lax.rem(i + 1, 2)
+
+    def sched_dma(slot, t):
+        return pltpu.make_async_copy(
+            sched_hbm.at[t], smem_ring.at[slot], smem_sem.at[slot]
+        )
+
+    def comp_dma(slot, t):
+        return pltpu.make_async_copy(
+            comp_hbm.at[t], comp_ring.at[slot], comp_sem.at[slot]
+        )
+
+    @pl.when(i == 0)
+    def _():
+        sched_dma(0, 0).start()
+        comp_dma(0, 0).start()
+
+    @pl.when(i + 1 < n_tiles)
+    def _():
+        sched_dma(nxt, i + 1).start()
+        comp_dma(nxt, i + 1).start()
+
+    sched_dma(cur, i).wait()
+    comp_dma(cur, i).wait()
+
+    # Expand the compact comps to lane-broadcast form (ray r of the
+    # tile at sublane r, identical across lanes, so the walk reads
+    # group g's rays as one aligned (8, 128) slice). All offsets are
+    # STATIC (dynamic lane extraction is not expressible on the VPU);
+    # ~770 unrolled slice+broadcast+store ops, ~3 us/tile — replacing
+    # a 3.1 MB/tile DMA that cost 15 us/tile and stalled the walk's
+    # cluster fetches behind it on the same queue.
+    if not _SKIP_EXPAND:
+        for c in range(6):
+            for g in range(GROUPS_PER_TILE):
+                bcast[c * RAYS_PER_TILE + g * GROUP:
+                      c * RAYS_PER_TILE + (g + 1) * GROUP, :] = (
+                    jnp.broadcast_to(
+                        comp_ring[cur, c * GROUP:(c + 1) * GROUP,
+                                  g:g + 1],
+                        (GROUP, RAY_TILE),
+                    )
+                )
+
+    n_active = count_ref[i]
     t_min = tmin_ref[0]
     # (t > 1e-8) & (t >= t_min) == t >= max(nextafter(1e-8f), t_min):
     # one fused compare per pair instead of two compares + an and.
     t_cut = jnp.maximum(jnp.float32(1.000000082740371e-08), t_min)
-    lo = lostep_ref[0, 0, 0]
-    step = lostep_ref[0, 0, 1]
-    cpad = key_ref.shape[2]
+    lo = lostep_ref[i, 0]
+    step = lostep_ref[i, 1]
+    cpad = smem_ring.shape[2]
 
     # The schedule arrives pre-sorted and compacted from the glue
     # (jnp.sort in _cluster_list_groups): entries [0, n_active) are the
@@ -1873,7 +1932,7 @@ def _kernel_grouped_dma(count_ref, key_ref, gmask_ref, lostep_ref,
     # sort/compaction this replaces measured ~20k cycles/tile (1.3 ms
     # of a 2.2 ms kernel at 64k rays — benchmarks/visit_probe.py).
     def sched(k):
-        return key_ref[0, 0, k]
+        return smem_ring[cur, 0, k]
 
     def get_dma(slot, k):
         cid = sched(k) & (_MAX_CLUSTERS - 1)
@@ -1899,15 +1958,19 @@ def _kernel_grouped_dma(count_ref, key_ref, gmask_ref, lostep_ref,
     # They live in a VMEM accumulator addressed by dynamic lane offset
     # g*128 — carrying them as while_loop registers instead was measured
     # 2x SLOWER (Mosaic spills vector loop carries every iteration).
-    tcand[...] = jnp.full((GROUP, GROUPS_PER_TILE * TRI_CHUNK), jnp.inf)
-    icand[...] = jnp.full(
-        (GROUP, GROUPS_PER_TILE * TRI_CHUNK), _BIG_ID, jnp.int32
-    )
+    if not _SKIP_FILLS:
+        tcand[...] = jnp.full(
+            (GROUP, GROUPS_PER_TILE * TRI_CHUNK), jnp.inf
+        )
+        icand[...] = jnp.full(
+            (GROUP, GROUPS_PER_TILE * TRI_CHUNK), _BIG_ID, jnp.int32
+        )
     if _GROUPED_EARLY_OUT:
         # per-(ray slot, group) running interest: best hit so far,
         # capped by the ray's scene-exit bound so miss rays stop
         # holding their group open once the schedule passes their exit
-        gbest[...] = texit[0]
+        # (exit bounds ride the comp pack's last 8 rows)
+        gbest[...] = comp_ring[cur, 6 * GROUP:7 * GROUP, :]
 
     lane_iota = jax.lax.broadcasted_iota(
         jnp.int32, (GROUP, RAY_TILE), 1
@@ -1948,16 +2011,18 @@ def _kernel_grouped_dma(count_ref, key_ref, gmask_ref, lostep_ref,
 
         def process_group(g):
             # group g's rays arrive pre-broadcast over lanes: rows
-            # [g*8, g*8+8) of the (1024, 128) comp blocks — a dynamic
-            # sublane slice at a provable multiple of 8, replacing six
-            # one-hot extract reductions per pair
+            # [c*1024 + g*8, +8) of the prefetched comp pack — a
+            # dynamic sublane slice at a provable multiple of 8,
+            # replacing six one-hot extract reductions per pair
             s0 = g * GROUP
 
-            def ext(ref):
-                return ref[pl.ds(s0, GROUP), :]            # (8, 128)
+            def ext(c):
+                return bcast[
+                    pl.ds(c * RAYS_PER_TILE + s0, GROUP), :
+                ]                                          # (8, 128)
 
-            rox, roy, roz = ext(ox), ext(oy), ext(oz)
-            rdx, rdy, rdz = ext(dx), ext(dy), ext(dz)
+            rox, roy, roz = ext(0), ext(1), ext(2)
+            rdx, rdy, rdz = ext(3), ext(4), ext(5)
             os_ = r6 * rox + r7 * roy + r8 * roz - r11
             ds_ = r6 * rdx + r7 * rdy + r8 * rdz
             t = -os_ / ds_
@@ -2017,12 +2082,14 @@ def _kernel_grouped_dma(count_ref, key_ref, gmask_ref, lostep_ref,
 
             jax.lax.while_loop(
                 lambda m: m != 0, bit_body,
-                gmask_ref[0, cid, w] & ow[w],
+                smem_ring[cur, 1 + w, cid] & ow[w],
             )
         return open0, open1, open2, open3
 
     full = jnp.int32(-1)
-    if not _GROUPED_EARLY_OUT:
+    if _SKIP_WALK:
+        pass
+    elif not _GROUPED_EARLY_OUT:
         jax.lax.fori_loop(0, n_active, body, (full, full, full, full))
     else:
         # Front-to-back early-out: the schedule is sorted by quantized
@@ -2081,6 +2148,13 @@ def _kernel_grouped_dma(count_ref, key_ref, gmask_ref, lostep_ref,
             kfin, jnp.minimum(kfin + _DMA_RING - 1, n_active), drain, 0
         )
 
+    if _SKIP_RESOLVE:
+        out_ref[0:GROUP, :] = tcand[:, 0:RAY_TILE]
+        out_ref[GROUP:2 * GROUP, :] = icand[:, 0:RAY_TILE].astype(
+            jnp.float32
+        )
+        return
+
     # ---- final vectorized winner resolution (one pass over groups)
     tacc = jnp.full((GROUP, RAY_TILE), jnp.inf)
     iacc = jnp.zeros((GROUP, RAY_TILE), jnp.int32)
@@ -2094,15 +2168,20 @@ def _kernel_grouped_dma(count_ref, key_ref, gmask_ref, lostep_ref,
         sel = lane_iota == g
         tacc = jnp.where(sel, tw, tacc)
         iacc = jnp.where(sel, iw, iacc)
-    t_out[...] = tacc
-    id_out[...] = jnp.where(jnp.isfinite(tacc), iacc, 0)
+    # single merged output block (ids bitcast to f32 rows 8..15): one
+    # per-step output copy instead of two
+    out_ref[0:GROUP, :] = tacc
+    out_ref[GROUP:2 * GROUP, :] = jax.lax.bitcast_convert_type(
+        jnp.where(jnp.isfinite(tacc), iacc, 0), jnp.float32
+    )
 
 
-@partial(jax.jit, static_argnames=("zero_mask", "parallel", "zero_sched"))
+@partial(jax.jit, static_argnames=("zero_mask", "parallel", "zero_sched",
+                                   "tiny_smem"))
 def pallas_closest_tuv_dma_grouped(tri_pack, cluster_min, cluster_max,
                                    o, d, t_min=1e-4, *,
                                    zero_mask=False, parallel=False,
-                                   zero_sched=False):
+                                   zero_sched=False, tiny_smem=False):
     """(t, reordered tri idx) closest hit, 8-ray-group cull granularity.
 
     Same scene inputs as pallas_closest_tuv_dma (transposed spatially-
@@ -2110,9 +2189,10 @@ def pallas_closest_tuv_dma_grouped(tri_pack, cluster_min, cluster_max,
 
     zero_mask=True is a PROBE ONLY: the schedule walk runs with all
     group masks zeroed (every cluster visit happens, no pair is
-    processed), isolating per-visit overhead. parallel=True marks the
+    processed), isolating per-visit overhead. zero_sched=True empties
+    the schedule entirely (per-tile floor). parallel=True marks the
     tile grid dimension parallel so Mosaic may split it across
-    TensorCores (megacore)."""
+    TensorCores (no-op on single-TensorCore v5e — measured)."""
     (o, d), b0 = _pad_rays(o, d)
     b = o.shape[0]
     tiles = b // RAYS_PER_TILE
@@ -2132,31 +2212,39 @@ def pallas_closest_tuv_dma_grouped(tri_pack, cluster_min, cluster_max,
     if zero_mask:
         gmask = gmask * 0
     if zero_sched:
-        # PROBE ONLY: empty schedule — the kernel still scans keys for
-        # compaction but visits nothing (per-tile floor measurement)
+        # PROBE ONLY: empty schedule — the kernel still copies the
+        # per-tile inputs but visits nothing (per-tile floor)
         count = count * 0
         keys = keys | (1 << 30)
     cpad = keys.shape[1]
 
-    # per-tile comp blocks pre-broadcast over lanes: ray r of the tile
-    # at sublane r, identical across the 128 lanes, so the kernel reads
-    # group g's rays as one aligned (8, 128) slice
-    def bcomp(x):
-        return jnp.broadcast_to(
-            x.reshape(tiles * RAYS_PER_TILE, 1),
-            (tiles * RAYS_PER_TILE, RAY_TILE),
-        )
+    # schedule pack (tiles, 8, cpad) i32: row 0 = sorted keys, rows
+    # 1..4 = group-mask words per cluster, rows 5..7 pad (Mosaic DMA
+    # slices must cover whole 8-sublane tiles); DMA'd to SMEM by the
+    # kernel's 2-deep prefetch ring
+    sched_pack = jnp.concatenate(
+        [keys[:, None, :], gmask.transpose(0, 2, 1),
+         jnp.zeros((tiles, 3, cpad), jnp.int32)], axis=1
+    )
+    if tiny_smem:
+        # PROBE ONLY (with zero_sched): shrink the per-tile schedule
+        # DMA to measure its share of the floor
+        sched_pack = sched_pack[:, :, :TRI_CHUNK]
+        cpad = TRI_CHUNK
 
-    bcomps = [bcomp(o[:, 0]), bcomp(o[:, 1]), bcomp(o[:, 2]),
-              bcomp(d[:, 0]), bcomp(d[:, 1]), bcomp(d[:, 2])]
-    bray_spec = pl.BlockSpec(
-        (RAYS_PER_TILE, RAY_TILE), lambda i: (i, 0),
-        memory_space=pltpu.VMEM,
-    )
-    ray_spec = pl.BlockSpec(
-        (GROUP, RAY_TILE), lambda i: (i, 0), memory_space=pltpu.VMEM
-    )
-    t, idx = pl.pallas_call(
+    # comp pack (tiles, 56, 128): the six COMPACT transposed comps
+    # (sublane = ray slot, lane = group — the prepass layout) stacked
+    # as 8-row blocks, ++ the per-ray exit bounds as rows 48..55.
+    # 28 KB/tile instead of the 3.1 MB/tile lane-broadcast form: the
+    # big DMA was the per-tile floor (15 us/tile, single-queue HBM
+    # stream) AND a 200 MB XLA materialization per call. The kernel
+    # re-expands to lane-broadcast form on-chip with static slices.
+    comp_pack = jnp.concatenate(
+        [x.reshape(tiles, GROUP, GROUPS_PER_TILE) for x in comps]
+        + [texit],
+        axis=1,
+    )                            # (tiles, 7*8, 128)
+    out = pl.pallas_call(
         _kernel_grouped_dma,
         grid=(tiles,),
         compiler_params=pltpu.CompilerParams(
@@ -2164,28 +2252,21 @@ def pallas_closest_tuv_dma_grouped(tri_pack, cluster_min, cluster_max,
                 "parallel" if parallel else "arbitrary",
             ),
         ),
-    in_specs=[
-            pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, cpad), lambda i: (i, 0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, cpad, 4), lambda i: (i, 0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, 2), lambda i: (i, 0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-        ]
-        + [bray_spec] * 6
-        + [
-            pl.BlockSpec((1, GROUP, RAY_TILE), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
+        in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
         ],
-        out_specs=[ray_spec, ray_spec],
-        out_shape=[
-            jax.ShapeDtypeStruct((tiles * GROUP, RAY_TILE), jnp.float32),
-            jax.ShapeDtypeStruct((tiles * GROUP, RAY_TILE), jnp.int32),
-        ],
+        out_specs=pl.BlockSpec(
+            (2 * GROUP, RAY_TILE), lambda i: (i, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (tiles * 2 * GROUP, RAY_TILE), jnp.float32
+        ),
         scratch_shapes=[
             pltpu.VMEM((_DMA_RING, 16, TRI_CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA((_DMA_RING,)),
@@ -2194,17 +2275,26 @@ def pallas_closest_tuv_dma_grouped(tri_pack, cluster_min, cluster_max,
             pltpu.VMEM((GROUP, GROUPS_PER_TILE * TRI_CHUNK),
                        jnp.int32),
             pltpu.VMEM((GROUP, RAY_TILE), jnp.float32),
+            pltpu.SMEM((2, 8, cpad), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, 7 * GROUP, RAY_TILE), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((6 * RAYS_PER_TILE, RAY_TILE), jnp.float32),
         ],
     )(
-        count.reshape(tiles, 1, 1),
-        keys[:, None, :],
-        gmask,
-        lostep[:, None, :],
-        tri_pack,
-        *bcomps,
-        texit,
+        count,
+        lostep,
         jnp.full((1,), t_min, jnp.float32),
+        sched_pack,
+        comp_pack,
+        tri_pack,
     )
+
+    out = out.reshape(tiles, 2, GROUP, RAY_TILE)
+    t = out[:, 0].reshape(tiles * GROUP, RAY_TILE)
+    idx = jax.lax.bitcast_convert_type(
+        out[:, 1], jnp.int32
+    ).reshape(tiles * GROUP, RAY_TILE)
 
     def untcomp(x):
         return (
