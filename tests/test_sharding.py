@@ -143,11 +143,14 @@ class TestTiledGuided:
         img = np.asarray(film.mean_radiance())
         assert img.shape == (32, 32, 3)
         assert img.mean() > 0
-        # compare against single-chip MIS statistically
-        single = ProgressiveRenderer(geom, cam, s, cdfs=cdfs, seed=6)
+        # same seed => the row-band tiled MIS film must be bitwise
+        # identical to single-chip (the sharding invariant, same as the
+        # BSDF test above — guided modes included)
+        single = ProgressiveRenderer(geom, cam, s, cdfs=cdfs, seed=4)
         single.step()
-        a = float(np.asarray(single.film.mean_radiance()).mean())
-        assert img.mean() == pytest.approx(a, rel=0.15)
+        np.testing.assert_array_equal(
+            img, np.asarray(single.film.mean_radiance())
+        )
 
 
 class TestShardedSolve:

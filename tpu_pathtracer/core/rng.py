@@ -46,7 +46,12 @@ def uniforms(key: jax.Array, n: int, shape=()) -> jnp.ndarray:
     return jax.random.uniform(key, shape + (n,))
 
 
-def lane_uniforms(key: jax.Array, lane_ids: jax.Array, n: int) -> jax.Array:
+def lane_uniforms(
+    key: jax.Array,
+    lane_ids: jax.Array,
+    n: int,
+    sub_ids: jax.Array | None = None,
+) -> jax.Array:
     """(B, n) uniforms where row i depends ONLY on (key, lane_ids[i]).
 
     Unlike `jax.random.uniform(key, (B, n))` — whose values depend on a
@@ -63,7 +68,15 @@ def lane_uniforms(key: jax.Array, lane_ids: jax.Array, n: int) -> jax.Array:
     set explicitly per block: word0 = lane id, word1 = draw-pair index.
     Each block yields two independent 32-bit outputs (draws 2k, 2k+1),
     so the hot-loop cost equals the positional `uniform(key, (B, n))`
-    this replaces. Bits convert via the standard mantissa fill."""
+    this replaces. Bits convert via the standard mantissa fill.
+
+    `sub_ids` (optional, per-lane int32) extends the counter with a
+    second per-lane coordinate packed into the high bits of word1
+    (sub_ids*256 + draw-pair index; requires n <= 512): draws then
+    depend only on (key, lane_ids[i], sub_ids[i]). The wavefront
+    integrator keys every path draw by (pixel, sample, depth) this way,
+    making renders invariant to lane *scheduling* — not just batch
+    layout. sub_ids=None reproduces the original counter bitwise."""
     from jax.extend import random as jex_random
 
     kd = jax.random.key_data(key).astype(jnp.uint32)        # (2,)
@@ -74,7 +87,12 @@ def lane_uniforms(key: jax.Array, lane_ids: jax.Array, n: int) -> jax.Array:
     ).reshape(-1)
     w1 = jnp.broadcast_to(
         jnp.arange(half, dtype=jnp.uint32)[None, :], (b, half)
-    ).reshape(-1)
+    )
+    if sub_ids is not None:
+        if n > 512:
+            raise ValueError("sub_ids packing supports n <= 512")
+        w1 = w1 + sub_ids.astype(jnp.uint32)[:, None] * jnp.uint32(256)
+    w1 = w1.reshape(-1)
     out = jex_random.threefry_2x32(kd, jnp.concatenate([w0, w1]))
     m = b * half
     bits = jnp.stack(

@@ -409,12 +409,15 @@ def trace_wavefront(
     the lanes and results are un-permuted before returning, so callers
     see the original lane order either way.
 
-    RNG is keyed per (pass, iteration, lane id): lane ids are logical
-    (global pixel index, via `lane_ids`), so estimates are bitwise
-    invariant to chunk layout, padding, and sharding — a lane's
-    trajectory depends only on its own id and iteration counter. They
-    differ from the per-depth scan integrator (both are unbiased
-    estimators of the same integral).
+    RNG is keyed per (pass, pixel, sample, depth): lane ids are logical
+    (global pixel index, via `lane_ids`) and the sample/depth counters
+    ride `lane_uniforms`' sub_ids word — so a (pixel, sample) path's
+    draws are independent of WHEN its lane reaches it. Estimates are
+    therefore bitwise invariant not only to chunk layout, padding, and
+    sharding but to lane *scheduling* itself (sorting, cost-balanced
+    pixel queues, any respawn order). They differ from the per-depth
+    scan integrator (both are unbiased estimators of the same
+    integral).
 
     Returns:
         (radiance_sum, rays, iters): per-lane radiance SUM over spp
@@ -442,10 +445,13 @@ def trace_wavefront(
     park_o = scene_hi + 1.0
     park_d = jnp.array([1.0, 0.0, 0.0], jnp.float32)
 
-    def spawn(iter_key, mask, o, d, px, py, pid):
-        jit2 = rng.lane_uniforms(
-            jax.random.fold_in(iter_key, 101), pid, 2
-        )
+    # Purpose-split keys, hoisted: per-draw identity lives entirely in
+    # the (pixel, sample, depth) counter words, not in the key chain.
+    key_cam = jax.random.fold_in(key, 101)
+    key_path = jax.random.fold_in(key, 7)
+
+    def spawn(mask, o, d, px, py, pid, sample_idx):
+        jit2 = rng.lane_uniforms(key_cam, pid, 2, sub_ids=sample_idx)
         u = (px + jit2[:, 0]) / width
         v = (py + jit2[:, 1]) / height
         co, cd = camera.get_rays(u, v)
@@ -462,13 +468,15 @@ def trace_wavefront(
     def body(state):
         (o, d, beta, total, alive, depth, done, px, py, orig, pid,
          rays, it) = state
-        iter_key = jax.random.fold_in(key, it)
         rays = rays + jnp.sum(alive)
 
         hit = _intersect(geom, o, d, bvh, tri_pack, attr_pack, culled)
         live = alive & hit.valid
+        # (sample, depth) counter: `done` counts STARTED samples, so the
+        # in-flight sample index is done-1; depth here is pre-increment.
         draws = rng.lane_uniforms(
-            jax.random.fold_in(iter_key, 7), pid, _num_draws(mode)
+            key_path, pid, _num_draws(mode),
+            sub_ids=(done - 1) * (max_depth + 1) + depth,
         )
         o, d, beta, live, contrib = _shade(
             hit, d, beta, live, draws, mode, cdfs, mis_frac,
@@ -480,7 +488,7 @@ def trace_wavefront(
         live = live & (depth < max_depth)
 
         respawn = alive & ~live & (done < spp)
-        o, d = spawn(iter_key, respawn, o, d, px, py, pid)
+        o, d = spawn(respawn, o, d, px, py, pid, done)
         beta = jnp.where(respawn[:, None], 1.0, beta)
         depth = jnp.where(respawn, 0, depth)
         done = done + respawn.astype(jnp.int32)
@@ -515,8 +523,8 @@ def trace_wavefront(
     py0 = pixel_y.astype(jnp.float32)
     o0 = jnp.zeros((b, 3), jnp.float32)
     d0 = jnp.ones((b, 3), jnp.float32)
-    o0, d0 = spawn(jax.random.fold_in(key, 0x5EED), jnp.ones((b,), bool),
-                   o0, d0, px0, py0, lane_ids)
+    o0, d0 = spawn(jnp.ones((b,), bool), o0, d0, px0, py0, lane_ids,
+                   jnp.zeros((b,), jnp.int32))
     state = (
         o0,
         d0,
