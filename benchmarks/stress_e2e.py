@@ -21,6 +21,8 @@ def main():
     ap.add_argument("--depth", type=int, default=4)
     ap.add_argument("--chunk", type=int, default=16,
                     help="log2 ray chunk (17 ok, 18 hangs the compiler)")
+    ap.add_argument("--balance", type=int, default=0,
+                    help="K pixels per lane, cost-balanced (0=off)")
     args = ap.parse_args()
 
     from tpu_pathtracer.ops.intersect_pallas import CulledScene
@@ -44,7 +46,7 @@ def main():
     s = RenderSettings(
         width=args.res, height=args.res, max_depth=args.depth,
         spp_per_pass=args.spp, ray_chunk=1 << args.chunk, wavefront=True,
-        sort_rays=args.sort,
+        sort_rays=args.sort, balance_lanes=args.balance,
     )
     r = ProgressiveRenderer(geom, cam, s, culled=CulledScene(geom))
 
@@ -58,8 +60,8 @@ def main():
         r.step(block=False)
         passes += 1
     r.sync()
-    print(f"stress100k sort={args.sort}: {r.mrays_per_sec:.2f} Mrays/s "
-          f"({passes} passes)")
+    print(f"stress100k sort={args.sort} balance={args.balance}: "
+          f"{r.mrays_per_sec:.2f} Mrays/s ({passes} passes)")
 
 
 if __name__ == "__main__":

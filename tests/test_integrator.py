@@ -284,3 +284,100 @@ class TestChunkInvariance:
             films.append(np.asarray(r.film.accum))
         np.testing.assert_array_equal(films[0], films[1])
         assert np.isfinite(films[0]).all() and films[0].max() > 0
+
+
+class TestPixelQueues:
+    """Queue mode ((B, K) pixel arrays) is pure scheduling: because
+    draws are keyed by (pixel, sample, depth), the per-pixel radiance
+    sums must be BITWISE identical to the flat (K=1) render — for any
+    pairing, with or without in-flight ray sorting."""
+
+    @staticmethod
+    def _open_scene():
+        """One emissive quad covering half the view: half the pixels
+        miss immediately (cheap lanes), half bounce (expensive lanes) —
+        the load shape queue balancing exists for."""
+        from tpu_pathtracer.render.camera import CameraController
+
+        o = np.array([-2.0, -2.0, -3.0])
+        u = np.array([2.0, 0.0, 0.0])
+        v = np.array([0.0, 2.0, 0.0])
+        corners = np.stack([o, o + u, o + u + v, o + v])[None].astype(
+            np.float32
+        )
+        prims = PrimList(
+            corners=corners,
+            is_quad=np.ones(1, bool),
+            albedo=np.full((1, 3), 0.7, np.float32),
+            emission=np.full((1, 3), 0.4, np.float32),
+            material=np.zeros(1, np.int32),
+        )
+        geom = prims.build()
+        cam = CameraController(
+            lookfrom=np.array([0.0, 0.0, 1.0]),
+            lookat=np.array([0.0, 0.0, -1.0]),
+            vup=np.array([0.0, 1.0, 0.0]),
+            vfov=70.0,
+            aspect=1.0,
+        ).build()
+        return geom, cam
+
+    @pytest.mark.parametrize("sort_rays", [False, True])
+    def test_queued_matches_flat_bitwise(self, sort_rays):
+        from tpu_pathtracer.render.integrator import trace_wavefront
+
+        geom, cam = self._open_scene()
+        n = 512
+        ids = jnp.arange(n, dtype=jnp.int32)
+        x = (ids % 32).astype(jnp.float32)
+        y = (ids // 32).astype(jnp.float32)
+        kw = dict(width=32, height=16, spp=4, max_depth=3,
+                  mode=SAMPLING_BSDF)
+        key = rng_mod.base_key(11)
+        flat, rays_f, _ = trace_wavefront(
+            geom, cam, x, y, key, sort_rays=sort_rays, **kw
+        )
+
+        # adversarial pairing: first half of the frame with the second,
+        # reversed — lanes advance slots at very different iterations
+        perm = jnp.concatenate([ids[: n // 2], ids[n // 2:][::-1]])
+        q = perm.reshape(2, n // 2).T                      # (256, 2)
+        total, rays_q, _ = trace_wavefront(
+            geom, cam, x[q], y[q], key, lane_ids=ids[q],
+            sort_rays=sort_rays, **kw
+        )
+        assert total.shape == (n // 2, 2, 3)
+        per_pixel = jnp.zeros((n, 3)).at[q.reshape(-1)].set(
+            total.reshape(-1, 3)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(per_pixel), np.asarray(flat)
+        )
+        assert int(rays_q) == int(rays_f)
+        assert float(jnp.abs(flat).max()) > 0
+
+    def test_balanced_render_pass_bitwise(self):
+        """ProgressiveRenderer with balance_lanes=K (probe + dealt lane
+        queues) must produce a bitwise-identical film to balance off."""
+        from tpu_pathtracer.render.camera import CameraController
+        from tpu_pathtracer.render.renderer import (
+            ProgressiveRenderer,
+            RenderSettings,
+        )
+        from tpu_pathtracer.scene.builtin import cornell_box
+
+        geom = cornell_box("quads").build()
+        cam = CameraController.default().build()
+        films = []
+        for k in (0, 2):
+            s = RenderSettings(
+                width=64, height=64, max_depth=3, spp_per_pass=4,
+                ray_chunk=2048, balance_lanes=k,
+            )
+            r = ProgressiveRenderer(geom, cam, s, seed=5)
+            r.step()
+            if k:
+                assert r._assignment is not None  # probe + deal ran
+            films.append(np.asarray(r.film.accum))
+        np.testing.assert_array_equal(films[0], films[1])
+        assert np.isfinite(films[0]).all() and films[0].max() > 0

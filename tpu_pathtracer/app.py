@@ -341,6 +341,7 @@ class App:
                 spp_per_pass=min(spp_pass, cfg.spp),
                 ray_chunk=cfg.ray_chunk,
                 sort_rays=cfg.sort_rays,
+                balance_lanes=cfg.balance_lanes,
             )
             if cfg.num_tiles > 1:
                 from .parallel.sharding import TiledRenderer

@@ -388,7 +388,8 @@ def trace_wavefront(
     culled=None,
     sort_rays: bool = False,
     lane_ids: jax.Array | None = None,
-) -> tuple[jax.Array, jax.Array, jax.Array]:
+    return_lane_steps: bool = False,
+) -> tuple[jax.Array, ...]:
     """Persistent wavefront with same-pixel respawn.
 
     Each lane owns one pixel and traces `spp` full paths for it. When a
@@ -419,18 +420,35 @@ def trace_wavefront(
     scan integrator (both are unbiased estimators of the same
     integral).
 
+    Pixel QUEUES (cost-balanced lanes): pass pixel_x/pixel_y/lane_ids as
+    (B, K) arrays and each lane owns K pixels, tracing `spp` samples for
+    queue slot 0, then slot 1, ... Because draws are keyed by (pixel,
+    sample, depth) and each pixel's samples stay within one lane in
+    sample order, the per-pixel radiance sums are BITWISE IDENTICAL to
+    the K=1 render — queues are pure scheduling. Pairing expensive
+    pixels with cheap ones flattens the per-lane total-work distribution
+    so the while_loop (which runs to the LAST live lane) finishes near
+    the mean instead of K x the worst pixel: on open scenes where miss
+    lanes park early (stress100k: 47% occupancy) this is the difference
+    between ~15 useful steps per 32 paid and ~29 per 32.
+
     Returns:
-        (radiance_sum, rays, iters): per-lane radiance SUM over spp
-        samples (B, 3); total live-lane bounce count; loop iterations.
+        (radiance_sum, rays, iters): per-(lane, slot) radiance SUM over
+        spp samples — (B, 3), or (B, K, 3) in queue mode; total
+        live-lane bounce count; loop iterations.
     """
     if mode != SAMPLING_BSDF and cdfs is None:
         raise ValueError("guided sampling modes require a CDFPack")
 
+    queue_mode = pixel_x.ndim == 2
+    k = pixel_x.shape[1] if queue_mode else 1
     b = pixel_x.shape[0]
     if lane_ids is None:
+        if queue_mode:
+            raise ValueError("queue mode requires explicit lane_ids")
         lane_ids = jnp.arange(b, dtype=jnp.int32)
     mis_frac = jnp.asarray(mis_bsdf_fraction, jnp.float32)
-    max_iters = spp * max_depth + max_depth
+    max_iters = k * (spp * max_depth + max_depth)
     scene_lo = jnp.min(geom.corners.reshape(-1, 3), axis=0)
     scene_hi = jnp.max(geom.corners.reshape(-1, 3), axis=0)
     if sort_rays:
@@ -460,6 +478,14 @@ def trace_wavefront(
             jnp.where(mask[:, None], cd, d),
         )
 
+    def qsel(q, slot):
+        """Per-lane queue read without a gather: K is tiny and static,
+        so a one-hot select chain beats XLA's per-lane row gather."""
+        acc = q[:, 0]
+        for j in range(1, k):
+            acc = jnp.where(slot == j, q[:, j], acc)
+        return acc
+
     def cond(state):
         alive = state[4]
         it = state[-1]
@@ -467,8 +493,9 @@ def trace_wavefront(
 
     def body(state):
         (o, d, beta, total, alive, depth, done, px, py, orig, pid,
-         rays, it) = state
+         slot, pxq, pyq, pidq, rays, steps, it) = state
         rays = rays + jnp.sum(alive)
+        steps = steps + alive.astype(jnp.int32)
 
         hit = _intersect(geom, o, d, bvh, tri_pack, attr_pack, culled)
         live = alive & hit.valid
@@ -482,12 +509,30 @@ def trace_wavefront(
             hit, d, beta, live, draws, mode, cdfs, mis_frac,
             depth > RR_START_DEPTH,
         )
-        total = total + contrib
+        # Accumulate into the current queue slot (one-hot over K).
+        if k == 1:
+            total = total + contrib[:, None, :]
+        else:
+            oneh = (slot[:, None] == jnp.arange(k)[None, :]).astype(
+                jnp.float32
+            )
+            total = total + contrib[:, None, :] * oneh[:, :, None]
 
         depth = depth + 1
         live = live & (depth < max_depth)
 
-        respawn = alive & ~live & (done < spp)
+        path_end = alive & ~live
+        # Queue advance: sample budget spent and another pixel waits —
+        # move to it and respawn its sample 0 in the SAME iteration (no
+        # idle step between pixels).
+        adv = path_end & (done >= spp) & (slot + 1 < k)
+        slot = slot + adv.astype(jnp.int32)
+        done = jnp.where(adv, 0, done)
+        px = jnp.where(adv, qsel(pxq, slot), px)
+        py = jnp.where(adv, qsel(pyq, slot), py)
+        pid = jnp.where(adv, qsel(pidq, slot), pid)
+
+        respawn = path_end & (done < spp)
         o, d = spawn(respawn, o, d, px, py, pid, done)
         beta = jnp.where(respawn[:, None], 1.0, beta)
         depth = jnp.where(respawn, 0, depth)
@@ -515,34 +560,50 @@ def trace_wavefront(
             )
             alive, depth, done = alive[perm], depth[perm], done[perm]
             px, py, orig, pid = px[perm], py[perm], orig[perm], pid[perm]
+            slot, pxq, pyq, pidq = (
+                slot[perm], pxq[perm], pyq[perm], pidq[perm]
+            )
+            steps = steps[perm]
 
         return (o, d, beta, total, alive, depth, done, px, py, orig, pid,
-                rays, it + 1)
+                slot, pxq, pyq, pidq, rays, steps, it + 1)
 
-    px0 = pixel_x.astype(jnp.float32)
-    py0 = pixel_y.astype(jnp.float32)
+    pxq0 = pixel_x.astype(jnp.float32).reshape(b, k)
+    pyq0 = pixel_y.astype(jnp.float32).reshape(b, k)
+    pidq0 = lane_ids.astype(jnp.int32).reshape(b, k)
+    px0, py0, pid0 = pxq0[:, 0], pyq0[:, 0], pidq0[:, 0]
     o0 = jnp.zeros((b, 3), jnp.float32)
     d0 = jnp.ones((b, 3), jnp.float32)
-    o0, d0 = spawn(jnp.ones((b,), bool), o0, d0, px0, py0, lane_ids,
+    o0, d0 = spawn(jnp.ones((b,), bool), o0, d0, px0, py0, pid0,
                    jnp.zeros((b,), jnp.int32))
     state = (
         o0,
         d0,
         jnp.ones((b, 3), jnp.float32),
-        jnp.zeros((b, 3), jnp.float32),
+        jnp.zeros((b, k, 3), jnp.float32),
         jnp.ones((b,), bool),
         jnp.zeros((b,), jnp.int32),
         jnp.ones((b,), jnp.int32),   # sample 0 already spawned
         px0,
         py0,
         jnp.arange(b, dtype=jnp.int32),
-        lane_ids,
+        pid0,
+        jnp.zeros((b,), jnp.int32),  # queue slot
+        pxq0,
+        pyq0,
+        pidq0,
         jnp.zeros((), jnp.int32),
+        jnp.zeros((b,), jnp.int32),  # per-lane live-step count
         jnp.zeros((), jnp.int32),
     )
-    (_, _, _, total, _, _, _, _, _, orig, _, rays, it) = (
-        jax.lax.while_loop(cond, body, state)
-    )
+    (_, _, _, total, _, _, _, _, _, orig, _, _, _, _, _, rays, steps,
+     it) = jax.lax.while_loop(cond, body, state)
     if sort_rays:
-        total = total[jnp.argsort(orig)]
+        unperm = jnp.argsort(orig)
+        total = total[unperm]
+        steps = steps[unperm]
+    if not queue_mode:
+        total = total[:, 0, :]
+    if return_lane_steps:
+        return total, rays, it, steps
     return total, rays, it

@@ -47,6 +47,15 @@ class RenderSettings:
     ray_chunk: int = 1 << 16     # rays in flight per lax.map step
     wavefront: bool = True       # same-pixel-respawn wavefront loop
     sort_rays: bool = False      # Morton-sort lanes per bounce (big scenes)
+    balance_lanes: int = 0       # K pixels per lane, cost-balanced (0=off):
+                                 # a one-pass probe measures per-tile path
+                                 # cost and deals K 32x32-pixel tiles to
+                                 # each lane-tile so every lane retires
+                                 # ~equal work — the wavefront while_loop
+                                 # runs to the LAST live lane, so open
+                                 # scenes (many early-miss pixels) waste
+                                 # half their steps without this. Output
+                                 # is bitwise identical to balance off.
 
     @property
     def num_pixels(self) -> int:
@@ -88,6 +97,72 @@ def _tile_swizzle(w: int, h: int, npix: int):
     return perm, inv
 
 
+def build_balance_assignment(lane_steps, swz_perm, npix, k, chunk):
+    """Deal 32x32-pixel tiles into K-deep cost-balanced lane queues.
+
+    lane_steps: (npix,) measured per-lane live-step counts from a
+    spp-1 probe pass run in plain swizzled lane order. Tiles (1024
+    consecutive swizzled lanes = one 32x32 pixel block = one culled-
+    kernel tile) are sorted by total cost and serpentine-dealt K to a
+    lane-tile, so every lane's expected total work is ~the mean rather
+    than K x its own pixel's. Tile granularity keeps the culled
+    kernel's per-tile cluster-schedule unions as compact as the plain
+    layout — only WHICH tiles share a lane changes, not their shape.
+
+    Returns (gids (nruns, chunk, K) int32 global pixel ids, inv
+    (npix,) int32 flat-slot index of each pixel), or None when the
+    shapes don't tile (caller falls back to unbalanced)."""
+    lanes_total = npix // k
+    if npix % (1024 * k) or lanes_total % chunk:
+        return None
+    u = npix // 1024
+    s_tiles = u // k
+    cost = np.asarray(lane_steps).reshape(u, 1024).sum(axis=1)
+    order = np.argsort(-cost, kind="stable")
+    slots = np.empty((s_tiles, k), np.int64)
+    for r in range(k):
+        block = order[r * s_tiles:(r + 1) * s_tiles]
+        slots[:, r] = block if r % 2 == 0 else block[::-1]
+    perm = (
+        np.asarray(swz_perm) if swz_perm is not None
+        else np.arange(npix)
+    )
+    gids = perm[
+        slots[:, None, :] * 1024 + np.arange(1024)[None, :, None]
+    ].reshape(-1, k)                      # (lanes_total, K)
+    inv = np.empty(npix, np.int64)
+    inv[gids.reshape(-1)] = np.arange(npix)
+    nruns = lanes_total // chunk
+    return (
+        jnp.asarray(gids.reshape(nruns, chunk, k), jnp.int32),
+        jnp.asarray(inv, jnp.int32),
+    )
+
+
+@partial(jax.jit, static_argnames=("settings",))
+def probe_pass(geom, cdfs, camera, key, mis_bsdf_fraction, settings,
+               gids, bvh=None, tri_pack=None, attr_pack=None,
+               culled=None):
+    """Per-lane cost probe: one spp-1 wavefront pass returning each
+    lane's live-step count (~its pixel's expected path length)."""
+    s = settings
+
+    def do_chunk(lane_ids):
+        x = (lane_ids % s.width).astype(jnp.float32)
+        y = (lane_ids // s.width).astype(jnp.float32)
+        _, _, _, steps = trace_wavefront(
+            geom, camera, x, y, key,
+            width=s.width, height=s.height, spp=1,
+            max_depth=s.max_depth, mode=s.sampling_mode, cdfs=cdfs,
+            mis_bsdf_fraction=mis_bsdf_fraction, bvh=bvh,
+            tri_pack=tri_pack, attr_pack=attr_pack, culled=culled,
+            lane_ids=lane_ids, return_lane_steps=True,
+        )
+        return steps
+
+    return jax.lax.map(do_chunk, gids)
+
+
 @partial(
     jax.jit,
     static_argnames=("settings", "view_size"),
@@ -107,8 +182,16 @@ def render_pass(
     culled=None,
     pixel_offset=None,
     view_size=None,
+    assignment=None,
 ):
     """Trace settings.spp_per_pass samples per pixel and accumulate.
+
+    `assignment` (optional, wavefront only): cost-balanced lane queues
+    from `build_balance_assignment` — a pair (gids (nruns, chunk, K)
+    of global pixel ids, inv (npix,) flat-slot index per pixel). Each
+    lane traces K pixels sequentially; per-pixel radiance is bitwise
+    identical to assignment=None (draws are keyed by (pixel, sample,
+    depth), see trace_wavefront).
 
     A shard_map row band rendering full-image rows [y0, y0+band) passes
     `pixel_offset = y0*width` (traced int32) and `view_size = (W, H)` of
@@ -204,6 +287,21 @@ def render_pass(
             jnp.arange(s.spp_per_pass),
         )
         return radiance_sum, rays
+
+    if assignment is not None:
+        if not s.wavefront:
+            raise ValueError("balanced lane queues require wavefront mode")
+        qgids, inv = assignment
+        radiance, rays = jax.lax.map(
+            do_chunk, qgids + pixel_offset
+        )                               # (nruns, chunk, K, 3)
+        radiance = radiance.reshape(-1, 3)[inv]
+        film = Film(
+            accum=film.accum + radiance.reshape(s.height, s.width, 3),
+            spp=film.spp + s.spp_per_pass,
+            passes=film.passes + 1,
+        )
+        return film, jnp.sum(rays)
 
     radiance, rays = jax.lax.map(do_chunk, gids)
     radiance = radiance.reshape(npad, 3)[:npix]
@@ -348,6 +446,39 @@ class ProgressiveRenderer:
         self._rays_dev = jnp.zeros((), jnp.float32)
         self._spp_host = 0
         self.render_seconds = 0.0
+        self._assignment = None
+        self._assignment_built = False
+
+    def _build_assignment(self):
+        """Cost-balanced lane queues (settings.balance_lanes = K > 1):
+        probe per-lane path cost once for this camera, then deal tiles
+        so each lane retires ~equal work. Scheduling only — the film is
+        bitwise identical with or without it."""
+        s = self.settings
+        npix = s.num_pixels
+        k = s.balance_lanes
+        chunk = min(s.ray_chunk, max(npix // k, 1))
+        if k <= 1 or not s.wavefront or npix % (1024 * k) \
+                or (npix // k) % chunk:
+            return None
+        swz = _tile_swizzle(s.width, s.height, npix) \
+            if self.culled is not None else None
+        perm = np.asarray(swz[0]) if swz is not None \
+            else np.arange(npix)
+        pchunk = min(s.ray_chunk, npix)
+        if npix % pchunk:
+            return None
+        steps = probe_pass(
+            self.geom, self.cdfs, self.camera,
+            jax.random.fold_in(self.key, 0xBA1A), self.mis_bsdf_fraction,
+            self.settings, jnp.asarray(perm.reshape(-1, pchunk)),
+            bvh=self.bvh, tri_pack=self.tri_pack,
+            attr_pack=self.attr_pack, culled=self.culled,
+        )
+        return build_balance_assignment(
+            np.asarray(steps).reshape(-1), swz[0] if swz else None,
+            npix, k, chunk,
+        )
 
     def step(self, block: bool = True) -> Film:
         """One render pass (spp_per_pass samples/pixel).
@@ -356,6 +487,9 @@ class ProgressiveRenderer:
         and `render_seconds` stays meaningful only across a final
         `sync()`."""
         t0 = time.perf_counter()
+        if self.settings.balance_lanes > 1 and not self._assignment_built:
+            self._assignment = self._build_assignment()
+            self._assignment_built = True
         self.film, rays = render_pass(
             self.geom,
             self.cdfs,
@@ -368,6 +502,7 @@ class ProgressiveRenderer:
             self.tri_pack,
             self.attr_pack,
             self.culled,
+            assignment=self._assignment,
         )
         self._rays_dev = self._rays_dev + rays.astype(jnp.float32)
         self._spp_host += self.settings.spp_per_pass

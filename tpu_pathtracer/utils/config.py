@@ -63,6 +63,7 @@ class Config:
     # Execution
     backend: str = "auto"            # auto | brute | pallas | culled | bvh
     sort_rays: bool = False          # Morton+octant lane sorting per bounce
+    balance_lanes: int = 0           # K pixels/lane, cost-balanced queues
     seed: int = 2023
     ray_chunk: int = 1 << 16
     num_tiles: int = 0               # >1: shard_map multi-chip tiling
