@@ -151,6 +151,10 @@ def main():
         s4 = RenderSettings(
             width=256, height=256, max_depth=4, spp_per_pass=8,
             ray_chunk=1 << 16, wavefront=True,
+            balance_lanes=4,   # cost-balanced 4-pixel lane queues: the
+                               # open scene parks miss lanes early (47%
+                               # occupancy unbalanced); film is bitwise
+                               # identical either way
         )
         extra["stress100k"] = round(
             _bench_renderer(
