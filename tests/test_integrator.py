@@ -381,3 +381,28 @@ class TestPixelQueues:
             films.append(np.asarray(r.film.accum))
         np.testing.assert_array_equal(films[0], films[1])
         assert np.isfinite(films[0]).all() and films[0].max() > 0
+
+    def test_balance_fallback_untileable(self):
+        """Shapes that don't tile (npix % (1024*K) != 0) must fall back
+        to the unbalanced path, bitwise-unchanged."""
+        from tpu_pathtracer.render.camera import CameraController
+        from tpu_pathtracer.render.renderer import (
+            ProgressiveRenderer,
+            RenderSettings,
+        )
+        from tpu_pathtracer.scene.builtin import cornell_box
+
+        geom = cornell_box("quads").build()
+        cam = CameraController.default().build()
+        films = []
+        for k in (0, 3):   # 4096 % (1024*3) != 0
+            s = RenderSettings(
+                width=64, height=64, max_depth=2, spp_per_pass=2,
+                ray_chunk=1024, balance_lanes=k,
+            )
+            r = ProgressiveRenderer(geom, cam, s, seed=1)
+            r.step()
+            if k:
+                assert r._assignment is None
+            films.append(np.asarray(r.film.accum))
+        np.testing.assert_array_equal(films[0], films[1])
