@@ -123,6 +123,14 @@ def build_balance_assignment(lane_steps, swz_perm, npix, k, chunk):
     for r in range(k):
         block = order[r * s_tiles:(r + 1) * s_tiles]
         slots[:, r] = block if r % 2 == 0 else block[::-1]
+    dealt = cost[slots].sum(axis=1)
+    from ..utils.logger import get_logger
+
+    get_logger("Balance").info(
+        f"K={k}: tile-cost deal mean {dealt.mean():.0f} max "
+        f"{dealt.max():.0f} (spread {dealt.max() / max(dealt.mean(), 1):.2f}x"
+        f"; unbalanced spread {k * cost.max() / max(dealt.mean(), 1):.2f}x)"
+    )
     perm = (
         np.asarray(swz_perm) if swz_perm is not None
         else np.arange(npix)
