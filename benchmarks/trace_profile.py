@@ -24,6 +24,10 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--scene", default="cbox", choices=["cbox", "stress"])
     p.add_argument("--mis", action="store_true")
+    p.add_argument("--balance", type=int, default=0,
+                   help="K pixels per lane, cost-balanced (stress only)")
+    p.add_argument("--spp", type=int, default=0,
+                   help="override spp_per_pass")
     args = p.parse_args()
 
     import jax
@@ -68,7 +72,8 @@ def main():
         ).build()
         kw = dict(culled=CulledScene(geom))
         settings_kw = dict(width=256, height=256, max_depth=4,
-                           spp_per_pass=2, ray_chunk=1 << 16)
+                           spp_per_pass=2, ray_chunk=1 << 16,
+                           balance_lanes=args.balance)
 
     cdfs = None
     if args.mis:
@@ -81,6 +86,8 @@ def main():
                               num_iterations=10, mc_samples=64)
         cdfs = build_cdfs(luminance(sol.rad_grid))
         settings_kw["sampling_mode"] = SAMPLING_MIS
+    if args.spp:
+        settings_kw["spp_per_pass"] = args.spp
 
     r = ProgressiveRenderer(geom, cam, RenderSettings(**settings_kw),
                             cdfs=cdfs, **kw)
@@ -94,7 +101,9 @@ def main():
     print(f"device total: {prof['device_total']*1e3:.2f} ms over "
           f"{prof['ops']} device ops")
 
-    key = f"{args.scene}{'_mis' if args.mis else ''}"
+    key = f"{args.scene}{'_mis' if args.mis else ''}" + (
+        f"_bal{args.balance}" if args.balance else ""
+    ) + (f"_spp{args.spp}" if args.spp else "")
     path = os.path.join(HERE, "trace_profile_result.json")
     data = {}
     if os.path.exists(path):

@@ -468,7 +468,13 @@ def trace_wavefront(
     key_cam = jax.random.fold_in(key, 101)
     key_path = jax.random.fold_in(key, 7)
 
-    def spawn(mask, o, d, px, py, pid, sample_idx):
+    def spawn(mask, o, d, pid, sample_idx):
+        # px/py are DERIVED from the global pixel id (pid = y*width + x
+        # at every call site — renderer.py computes lane coords exactly
+        # this way), so the loop carries one int32 id instead of two f32
+        # coordinate arrays (+ their (B, K) queues in queue mode).
+        px = (pid % width).astype(jnp.float32)
+        py = (pid // width).astype(jnp.float32)
         jit2 = rng.lane_uniforms(key_cam, pid, 2, sub_ids=sample_idx)
         u = (px + jit2[:, 0]) / width
         v = (py + jit2[:, 1]) / height
@@ -487,15 +493,15 @@ def trace_wavefront(
         return acc
 
     def cond(state):
-        alive = state[4]
-        it = state[-1]
-        return jnp.any(alive) & (it < max_iters)
+        return jnp.any(state["alive"]) & (state["it"] < max_iters)
 
     def body(state):
-        (o, d, beta, total, alive, depth, done, px, py, orig, pid,
-         slot, pxq, pyq, pidq, rays, steps, it) = state
-        rays = rays + jnp.sum(alive)
-        steps = steps + alive.astype(jnp.int32)
+        s = dict(state)
+        o, d, beta, alive = s["o"], s["d"], s["beta"], s["alive"]
+        depth, done, pid, slot = s["depth"], s["done"], s["pid"], s["slot"]
+        s["rays"] = s["rays"] + jnp.sum(alive)
+        if return_lane_steps:
+            s["steps"] = s["steps"] + alive.astype(jnp.int32)
 
         hit = _intersect(geom, o, d, bvh, tri_pack, attr_pack, culled)
         live = alive & hit.valid
@@ -511,12 +517,12 @@ def trace_wavefront(
         )
         # Accumulate into the current queue slot (one-hot over K).
         if k == 1:
-            total = total + contrib[:, None, :]
+            s["total"] = s["total"] + contrib[:, None, :]
         else:
             oneh = (slot[:, None] == jnp.arange(k)[None, :]).astype(
                 jnp.float32
             )
-            total = total + contrib[:, None, :] * oneh[:, :, None]
+            s["total"] = s["total"] + contrib[:, None, :] * oneh[:, :, None]
 
         depth = depth + 1
         live = live & (depth < max_depth)
@@ -528,18 +534,18 @@ def trace_wavefront(
         adv = path_end & (done >= spp) & (slot + 1 < k)
         slot = slot + adv.astype(jnp.int32)
         done = jnp.where(adv, 0, done)
-        px = jnp.where(adv, qsel(pxq, slot), px)
-        py = jnp.where(adv, qsel(pyq, slot), py)
-        pid = jnp.where(adv, qsel(pidq, slot), pid)
+        pid = jnp.where(adv, qsel(s["pidq"], slot), pid)
 
         respawn = path_end & (done < spp)
-        o, d = spawn(respawn, o, d, px, py, pid, done)
+        o, d = spawn(respawn, o, d, pid, done)
         beta = jnp.where(respawn[:, None], 1.0, beta)
         depth = jnp.where(respawn, 0, depth)
         done = done + respawn.astype(jnp.int32)
         alive = live | respawn
         o = jnp.where(alive[:, None], o, park_o)
         d = jnp.where(alive[:, None], d, park_d)
+        s.update(o=o, d=d, beta=beta, alive=alive, depth=depth,
+                 done=done, pid=pid, slot=slot)
 
         if sort_rays:
             # 3-bit direction octant above 27 bits of origin Morton:
@@ -555,55 +561,47 @@ def trace_wavefront(
             )
             code = jnp.where(alive, code, jnp.int32(2**30))
             perm = jnp.argsort(code)
-            o, d, beta, total = (
-                o[perm], d[perm], beta[perm], total[perm]
-            )
-            alive, depth, done = alive[perm], depth[perm], done[perm]
-            px, py, orig, pid = px[perm], py[perm], orig[perm], pid[perm]
-            slot, pxq, pyq, pidq = (
-                slot[perm], pxq[perm], pyq[perm], pidq[perm]
-            )
-            steps = steps[perm]
+            for name in ("o", "d", "beta", "total", "alive", "depth",
+                         "done", "orig", "pid", "slot", "pidq", "steps"):
+                if name in s:
+                    s[name] = s[name][perm]
 
-        return (o, d, beta, total, alive, depth, done, px, py, orig, pid,
-                slot, pxq, pyq, pidq, rays, steps, it + 1)
+        s["it"] = s["it"] + 1
+        return s
 
-    pxq0 = pixel_x.astype(jnp.float32).reshape(b, k)
-    pyq0 = pixel_y.astype(jnp.float32).reshape(b, k)
     pidq0 = lane_ids.astype(jnp.int32).reshape(b, k)
-    px0, py0, pid0 = pxq0[:, 0], pyq0[:, 0], pidq0[:, 0]
+    pid0 = pidq0[:, 0]
     o0 = jnp.zeros((b, 3), jnp.float32)
     d0 = jnp.ones((b, 3), jnp.float32)
-    o0, d0 = spawn(jnp.ones((b,), bool), o0, d0, px0, py0, pid0,
+    o0, d0 = spawn(jnp.ones((b,), bool), o0, d0, pid0,
                    jnp.zeros((b,), jnp.int32))
-    state = (
-        o0,
-        d0,
-        jnp.ones((b, 3), jnp.float32),
-        jnp.zeros((b, k, 3), jnp.float32),
-        jnp.ones((b,), bool),
-        jnp.zeros((b,), jnp.int32),
-        jnp.ones((b,), jnp.int32),   # sample 0 already spawned
-        px0,
-        py0,
-        jnp.arange(b, dtype=jnp.int32),
-        pid0,
-        jnp.zeros((b,), jnp.int32),  # queue slot
-        pxq0,
-        pyq0,
-        pidq0,
-        jnp.zeros((), jnp.int32),
-        jnp.zeros((b,), jnp.int32),  # per-lane live-step count
-        jnp.zeros((), jnp.int32),
+    state = dict(
+        o=o0,
+        d=d0,
+        beta=jnp.ones((b, 3), jnp.float32),
+        total=jnp.zeros((b, k, 3), jnp.float32),
+        alive=jnp.ones((b,), bool),
+        depth=jnp.zeros((b,), jnp.int32),
+        done=jnp.ones((b,), jnp.int32),   # sample 0 already spawned
+        pid=pid0,
+        slot=jnp.zeros((b,), jnp.int32),  # queue slot
+        pidq=pidq0,
+        rays=jnp.zeros((), jnp.int32),
+        it=jnp.zeros((), jnp.int32),
     )
-    (_, _, _, total, _, _, _, _, _, orig, _, _, _, _, _, rays, steps,
-     it) = jax.lax.while_loop(cond, body, state)
     if sort_rays:
-        unperm = jnp.argsort(orig)
+        state["orig"] = jnp.arange(b, dtype=jnp.int32)
+    if return_lane_steps:
+        state["steps"] = jnp.zeros((b,), jnp.int32)
+    out = jax.lax.while_loop(cond, body, state)
+    total, rays, it = out["total"], out["rays"], out["it"]
+    if sort_rays:
+        unperm = jnp.argsort(out["orig"])
         total = total[unperm]
-        steps = steps[unperm]
+        if return_lane_steps:
+            out["steps"] = out["steps"][unperm]
     if not queue_mode:
         total = total[:, 0, :]
     if return_lane_steps:
-        return total, rays, it, steps
+        return total, rays, it, out["steps"]
     return total, rays, it
