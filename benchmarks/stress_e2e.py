@@ -23,6 +23,8 @@ def main():
                     help="log2 ray chunk (17 ok, 18 hangs the compiler)")
     ap.add_argument("--balance", type=int, default=0,
                     help="K pixels per lane, cost-balanced (0=off)")
+    ap.add_argument("--tilesync", action="store_true",
+                    help="tile-synchronized queue advance")
     args = ap.parse_args()
 
     from tpu_pathtracer.ops.intersect_pallas import CulledScene
@@ -47,6 +49,7 @@ def main():
         width=args.res, height=args.res, max_depth=args.depth,
         spp_per_pass=args.spp, ray_chunk=1 << args.chunk, wavefront=True,
         sort_rays=args.sort, balance_lanes=args.balance,
+        balance_tile_sync=args.tilesync,
     )
     r = ProgressiveRenderer(geom, cam, s, culled=CulledScene(geom))
 
@@ -60,7 +63,8 @@ def main():
         r.step(block=False)
         passes += 1
     r.sync()
-    print(f"stress100k sort={args.sort} balance={args.balance}: "
+    print(f"stress100k sort={args.sort} balance={args.balance} "
+          f"tilesync={args.tilesync}: "
           f"{r.mrays_per_sec:.2f} Mrays/s ({passes} passes)")
 
 

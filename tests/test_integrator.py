@@ -382,6 +382,33 @@ class TestPixelQueues:
         np.testing.assert_array_equal(films[0], films[1])
         assert np.isfinite(films[0]).all() and films[0].max() > 0
 
+    def test_tile_sync_bitwise(self):
+        """Tile-synchronized queue advance (balance_tile_sync) is pure
+        scheduling: same film, bitwise, as asynchronous advance."""
+        from tpu_pathtracer.render.integrator import trace_wavefront
+
+        geom, cam = self._open_scene()
+        n = 2048
+        ids = jnp.arange(n, dtype=jnp.int32)
+        x = (ids % 64).astype(jnp.float32)
+        y = (ids // 64).astype(jnp.float32)
+        kw = dict(width=64, height=32, spp=2, max_depth=3,
+                  mode=SAMPLING_BSDF)
+        key = rng_mod.base_key(5)
+        q = ids.reshape(2, n // 2).T        # adversarial pairing
+        t0, r0, _ = trace_wavefront(
+            geom, cam, x[q], y[q], key, lane_ids=ids[q], **kw
+        )
+        t1, r1, _ = trace_wavefront(
+            geom, cam, x[q], y[q], key, lane_ids=ids[q],
+            tile_sync=1024, **kw
+        )
+        np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))
+        assert int(r0) == int(r1)
+        with pytest.raises(ValueError):
+            trace_wavefront(geom, cam, x[q], y[q], key, lane_ids=ids[q],
+                            tile_sync=1024, sort_rays=True, **kw)
+
     def test_balance_fallback_untileable(self):
         """Shapes that don't tile (npix % (1024*K) != 0) must fall back
         to the unbalanced path, bitwise-unchanged."""

@@ -389,6 +389,7 @@ def trace_wavefront(
     sort_rays: bool = False,
     lane_ids: jax.Array | None = None,
     return_lane_steps: bool = False,
+    tile_sync: int = 0,
 ) -> tuple[jax.Array, ...]:
     """Persistent wavefront with same-pixel respawn.
 
@@ -528,15 +529,40 @@ def trace_wavefront(
         live = live & (depth < max_depth)
 
         path_end = alive & ~live
+        respawn_now = path_end & (done < spp)
         # Queue advance: sample budget spent and another pixel waits —
         # move to it and respawn its sample 0 in the SAME iteration (no
         # idle step between pixels).
-        adv = path_end & (done >= spp) & (slot + 1 < k)
+        if tile_sync and k > 1:
+            # Tile-synchronized advance: a lane that finished its slot
+            # quota WAITS (parked, zero cluster incidence) until every
+            # lane in its tile_sync-lane kernel tile is done with the
+            # current slot, then the whole tile advances together. Slots
+            # stay tile-uniform, so a kernel tile's rays always come
+            # from ONE dealt 32x32 pixel tile — the culled backend's
+            # per-tile cluster unions and 8-lane group frustums keep
+            # their unbalanced-render compactness instead of mixing up
+            # to K distant pixel tiles as lanes drift apart. Costs
+            # iterations (intra-tile stragglers); pure scheduling, so
+            # the film is bitwise unchanged.
+            waiting = s["waiting"] | (
+                path_end & (done >= spp) & (slot + 1 < k)
+            )
+            working = live | respawn_now
+            tile_ready = ~jnp.any(
+                working.reshape(-1, tile_sync), axis=1
+            )
+            adv = waiting & jnp.broadcast_to(
+                tile_ready[:, None], (b // tile_sync, tile_sync)
+            ).reshape(-1)
+            s["waiting"] = waiting & ~adv
+        else:
+            adv = path_end & (done >= spp) & (slot + 1 < k)
         slot = slot + adv.astype(jnp.int32)
         done = jnp.where(adv, 0, done)
         pid = jnp.where(adv, qsel(s["pidq"], slot), pid)
 
-        respawn = path_end & (done < spp)
+        respawn = respawn_now | adv
         o, d = spawn(respawn, o, d, pid, done)
         beta = jnp.where(respawn[:, None], 1.0, beta)
         depth = jnp.where(respawn, 0, depth)
@@ -593,6 +619,13 @@ def trace_wavefront(
         state["orig"] = jnp.arange(b, dtype=jnp.int32)
     if return_lane_steps:
         state["steps"] = jnp.zeros((b,), jnp.int32)
+    if tile_sync and k > 1:
+        if sort_rays:
+            raise ValueError("tile_sync requires static lane tiles; "
+                             "disable sort_rays")
+        if b % tile_sync:
+            raise ValueError("batch must tile by tile_sync")
+        state["waiting"] = jnp.zeros((b,), bool)
     out = jax.lax.while_loop(cond, body, state)
     total, rays, it = out["total"], out["rays"], out["it"]
     if sort_rays:

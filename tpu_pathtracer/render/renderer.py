@@ -47,6 +47,11 @@ class RenderSettings:
     ray_chunk: int = 1 << 16     # rays in flight per lax.map step
     wavefront: bool = True       # same-pixel-respawn wavefront loop
     sort_rays: bool = False      # Morton-sort lanes per bounce (big scenes)
+    balance_tile_sync: bool = False  # advance dealt lane queues one
+                                 # whole 1024-lane kernel tile at a time
+                                 # (keeps culled-backend tile/group
+                                 # frustums slot-pure; costs straggler
+                                 # iterations; film bitwise unchanged)
     balance_lanes: int = 0       # K pixels per lane, cost-balanced (0=off):
                                  # a one-pass probe measures per-tile path
                                  # cost and deals K 32x32-pixel tiles to
@@ -97,7 +102,8 @@ def _tile_swizzle(w: int, h: int, npix: int):
     return perm, inv
 
 
-def build_balance_assignment(lane_steps, swz_perm, npix, k, chunk):
+def build_balance_assignment(lane_steps, swz_perm, npix, k, chunk,
+                             tile_sync=False):
     """Deal 32x32-pixel tiles into K-deep cost-balanced lane queues.
 
     lane_steps: (npix,) measured per-lane live-step counts from a
@@ -117,7 +123,11 @@ def build_balance_assignment(lane_steps, swz_perm, npix, k, chunk):
         return None
     u = npix // 1024
     s_tiles = u // k
-    cost = np.asarray(lane_steps).reshape(u, 1024).sum(axis=1)
+    per_tile = np.asarray(lane_steps).reshape(u, 1024)
+    # Under tile-synchronized advance a lane-tile occupies the loop for
+    # its STRAGGLER's steps each slot, so tiles are costed by their max
+    # lane; otherwise by total work (per-lane sums).
+    cost = per_tile.max(axis=1) if tile_sync else per_tile.sum(axis=1)
     order = np.argsort(-cost, kind="stable")
     slots = np.empty((s_tiles, k), np.int64)
     for r in range(k):
@@ -260,6 +270,10 @@ def render_pass(
                 culled=culled,
                 sort_rays=s.sort_rays,
                 lane_ids=lane_ids,
+                tile_sync=1024 if (
+                    s.balance_tile_sync and s.balance_lanes > 1
+                    and lane_ids.ndim == 2
+                ) else 0,
             )
             return radiance_sum, rays
 
@@ -485,7 +499,7 @@ class ProgressiveRenderer:
         )
         return build_balance_assignment(
             np.asarray(steps).reshape(-1), swz[0] if swz else None,
-            npix, k, chunk,
+            npix, k, chunk, tile_sync=s.balance_tile_sync,
         )
 
     def step(self, block: bool = True) -> Film:
