@@ -25,6 +25,8 @@ def main():
                     help="K pixels per lane, cost-balanced (0=off)")
     ap.add_argument("--tilesync", action="store_true",
                     help="tile-synchronized queue advance")
+    ap.add_argument("--regroup", action="store_true",
+                    help="within-tile (octant, nearest-cluster) regroup")
     args = ap.parse_args()
 
     from tpu_pathtracer.ops.intersect_pallas import CulledScene
@@ -51,7 +53,8 @@ def main():
         sort_rays=args.sort, balance_lanes=args.balance,
         balance_tile_sync=args.tilesync,
     )
-    r = ProgressiveRenderer(geom, cam, s, culled=CulledScene(geom))
+    r = ProgressiveRenderer(geom, cam, s,
+                        culled=CulledScene(geom, regroup=args.regroup))
 
     import time
 
@@ -64,6 +67,7 @@ def main():
         passes += 1
     r.sync()
     print(f"stress100k sort={args.sort} balance={args.balance} "
+          f"regroup={args.regroup} "
           f"tilesync={args.tilesync}: "
           f"{r.mrays_per_sec:.2f} Mrays/s ({passes} passes)")
 

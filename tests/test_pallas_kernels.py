@@ -368,6 +368,33 @@ class TestGroupedDMA:
             np.asarray(ref.prim)[m],
         )
 
+    def test_regroup_matches_plain(self):
+        """Within-tile (octant, nearest-cluster) regrouping is a pure
+        lane permutation around the kernel: per-ray t bitwise equal,
+        same winning source prim (reordered id may differ only on
+        exact-tie geometry; t never does)."""
+        geom = subdivide(cornell_box("quads"), 3).build()
+        key = jax.random.key(3)
+        ko, kd, km = jax.random.split(key, 3)
+        n = 4096
+        o = jax.random.uniform(
+            ko, (n, 3), minval=-2.5, maxval=2.5
+        ) + jnp.array([0.0, 2.75, 0.0])
+        d = jax.random.normal(kd, (n, 3))
+        d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+        cm = jax.random.uniform(km, (n,)) < 0.3  # mixed camera/bounce
+        cs = ip.CulledScene(geom)
+        cs_r = ip.CulledScene(geom, regroup=True)
+        assert cs_r.regroup
+        h0 = cs.closest_hit(geom, o, d)
+        h1 = cs_r.closest_hit(geom, o, d, camera_mask=cm)
+        np.testing.assert_array_equal(np.asarray(h0.t), np.asarray(h1.t))
+        np.testing.assert_array_equal(
+            np.asarray(h0.prim), np.asarray(h1.prim)
+        )
+        h2 = cs_r.closest_hit(geom, o, d)  # no camera hint: still exact
+        np.testing.assert_array_equal(np.asarray(h0.t), np.asarray(h2.t))
+
     def test_matches_dma_kernel(self):
         """Grouped and row-granular kernels share tie-break semantics up
         to schedule order; t must agree exactly on a coherent batch."""

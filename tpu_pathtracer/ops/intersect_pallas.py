@@ -640,12 +640,21 @@ class CulledScene:
     can ride through jit boundaries)."""
 
     def __init__(self, geom: Geometry = None, _leaves=None,
-                 sort_rays=False, grouped=True):
+                 sort_rays=False, grouped=True, regroup=False):
         self.sort_rays = sort_rays
         # grouped=True dispatches to the 8-ray-group kernel (measured
         # 1.8x coherent / 2.3x incoherent over the row kernel on the
         # 101k-tri scene); sort_rays only applies to the row kernel.
         self.grouped = grouped and not sort_rays
+        # regroup=True re-cuts the 8-ray groups WITHIN each 1024-ray
+        # kernel tile by (octant, nearest-touched-cluster) before the
+        # grouped kernel runs: bounce-shaped batches reach the per-ray
+        # incidence floor (host probe: 2.48x fewer (group, cluster)
+        # pairs, benchmarks/group_sort_probe.py) while camera rays keep
+        # their pixel-block layout via the caller's camera_mask. Uses
+        # one slim probe prepass + two minor-dim batched sorts (the
+        # cheap kind, ~0.02 ms — NOT the dead 3.8 ms global argsort).
+        self.regroup = regroup and self.grouped
         if _leaves is not None:
             (self.tri_pack, self.cluster_min, self.cluster_max,
              self.attr_table) = _leaves
@@ -674,22 +683,81 @@ class CulledScene:
         return (
             (self.tri_pack, self.cluster_min, self.cluster_max,
              self.attr_table),
-            (self.sort_rays, self.grouped),
+            (self.sort_rays, self.grouped, self.regroup),
         )
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
         if isinstance(aux, tuple):
-            sort_rays, grouped = aux
+            sort_rays, grouped, regroup = (
+                aux if len(aux) == 3 else (*aux, False)
+            )
         else:                       # older pickles: bool aux
-            sort_rays, grouped = aux, True
-        return cls(_leaves=leaves, sort_rays=sort_rays, grouped=grouped)
+            sort_rays, grouped, regroup = aux, True, False
+        return cls(_leaves=leaves, sort_rays=sort_rays, grouped=grouped,
+                   regroup=regroup)
+
+    def _regrouped_tuv(self, o, d, t_min, camera_mask):
+        """Grouped kernel on tile-locally re-sorted lanes.
+
+        Keys: camera rays (camera_mask) keep their swizzled order and
+        sort FIRST (their 4x2-pixel-block groups are already near the
+        per-ray incidence floor; re-cutting them measured 10% WORSE);
+        bounce rays sort by (octant, nearest touched cluster) so rays
+        that enter the scene at the same place share a group; misses and
+        parked lanes sink to the end with zero incidence. Both sorts are
+        minor-dim batched (one 1024-wide row per kernel tile). Per-ray
+        (t, id) is order-invariant up to the documented exact-tie caveat
+        of the serial cluster schedule."""
+        b = o.shape[0]
+        c_probe = _prepass_probe(
+            self.cluster_min, self.cluster_max, o, d, t_min
+        )
+        octant = (
+            (d[:, 0] > 0).astype(jnp.int32)
+            + 2 * (d[:, 1] > 0).astype(jnp.int32)
+            + 4 * (d[:, 2] > 0).astype(jnp.int32)
+        )
+        touches = c_probe < jnp.float32(2**30)
+        key = jnp.where(
+            touches,
+            (jnp.int32(1) << 30) | (octant << _ID_BITS)
+            | c_probe.astype(jnp.int32),
+            jnp.int32(0x7FFFFFFF),
+        )
+        lane = jnp.arange(b, dtype=jnp.int32)
+        if camera_mask is not None:
+            key = jnp.where(camera_mask, lane % RAYS_PER_TILE, key)
+        shape2 = (-1, RAYS_PER_TILE)
+        ops = tuple(x.reshape(shape2) for x in (
+            key, lane, o[:, 0], o[:, 1], o[:, 2],
+            d[:, 0], d[:, 1], d[:, 2],
+        ))
+        out = jax.lax.sort(ops, dimension=1, num_keys=1, is_stable=True)
+        lane_s = out[1]
+        o_s = jnp.stack([x.reshape(-1) for x in out[2:5]], axis=-1)
+        d_s = jnp.stack([x.reshape(-1) for x in out[5:8]], axis=-1)
+        t, ridx = pallas_closest_tuv_dma_grouped(
+            self.tri_pack, self.cluster_min, self.cluster_max,
+            o_s, d_s, t_min,
+        )
+        # Un-permute by sorting each tile back on the original lane id
+        # (global ids are monotone within a tile) — a second cheap
+        # minor-dim sort instead of two per-lane gathers.
+        _, t, ridx = jax.lax.sort(
+            (lane_s, t.reshape(shape2), ridx.reshape(shape2)),
+            dimension=1, num_keys=1, is_stable=True,
+        )
+        return t.reshape(b), ridx.reshape(b)
 
     def closest_hit(self, geom: Geometry, o, d, t_min=1e-4,
-                    t_max=jnp.inf):
+                    t_max=jnp.inf, camera_mask=None):
         from .intersect import Hit
 
-        if self.grouped:
+        if (self.regroup and self.grouped
+                and o.shape[0] % RAYS_PER_TILE == 0):
+            t, ridx = self._regrouped_tuv(o, d, t_min, camera_mask)
+        elif self.grouped:
             t, ridx = pallas_closest_tuv_dma_grouped(
                 self.tri_pack, self.cluster_min, self.cluster_max,
                 o, d, t_min,

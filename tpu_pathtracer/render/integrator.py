@@ -202,9 +202,11 @@ def _shade(hit, d, beta, live, draws, mode, cdfs, mis_frac, do_rr):
     return o_next, nd, beta, live, contribution
 
 
-def _intersect(geom, o, d, bvh, tri_pack, attr_pack, culled=None):
+def _intersect(geom, o, d, bvh, tri_pack, attr_pack, culled=None,
+               camera_mask=None):
     if culled is not None:
-        return culled.closest_hit(geom, o, d, t_min=RAY_EPS)
+        return culled.closest_hit(geom, o, d, t_min=RAY_EPS,
+                                  camera_mask=camera_mask)
     if tri_pack is not None:
         return pallas_closest_hit(
             geom, tri_pack, o, d, t_min=RAY_EPS, attr_pack=attr_pack
@@ -504,7 +506,8 @@ def trace_wavefront(
         if return_lane_steps:
             s["steps"] = s["steps"] + alive.astype(jnp.int32)
 
-        hit = _intersect(geom, o, d, bvh, tri_pack, attr_pack, culled)
+        hit = _intersect(geom, o, d, bvh, tri_pack, attr_pack, culled,
+                         camera_mask=alive & (depth == 0))
         live = alive & hit.valid
         # (sample, depth) counter: `done` counts STARTED samples, so the
         # in-flight sample index is done-1; depth here is pre-increment.
