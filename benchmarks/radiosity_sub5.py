@@ -26,12 +26,18 @@ def main():
     ap.add_argument("--samples", type=int, default=4)
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--sub", type=int, default=5)
+    ap.add_argument("--vmem", action="store_true",
+                    help="use the VMEM any-hit backend (round-2 path) "
+                         "instead of the grouped culled kernel")
+    ap.add_argument("--fresh", action="store_true",
+                    help="ignore the cached solution")
     args = ap.parse_args()
 
     import jax
     import jax.numpy as jnp
 
     from tpu_pathtracer.ops.intersect_pallas import (
+        CulledScene,
         pack_prim_ids,
         pack_triangles,
     )
@@ -53,12 +59,15 @@ def main():
     import numpy as np
 
     cache = os.path.join(HERE, f"radiosity_sub{args.sub}_solution.npz")
-    if os.path.exists(cache):
+    if os.path.exists(cache) and not args.fresh:
         data = np.load(cache)
         radiosity, solve_s = data["radiosity"], float(data["solve_s"])
         print(f"loaded cached solution ({cache})")
     else:
-        packs = (pack_triangles(geom), pack_prim_ids(geom))
+        if args.vmem:
+            packs = (pack_triangles(geom), pack_prim_ids(geom))
+        else:
+            packs = CulledScene(geom)   # grouped culled any-hit
         t0 = time.time()
         sol = solve_radiosity(
             geom, jax.random.key(12345),
@@ -88,6 +97,7 @@ def main():
         "prims": int(n),
         "mc_samples": args.samples,
         "iterations": args.iters,
+        "visibility_backend": "vmem" if args.vmem else "culled_grouped",
         "solve_seconds": round(solve_s, 1),
         "total_radiosity_mean": float(np.asarray(radiosity).mean()),
     }

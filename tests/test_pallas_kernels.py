@@ -458,3 +458,62 @@ class TestGroupedPrepass:
             c = ridx[i] // ip.TRI_CHUNK
             word, bit = g // 32, g % 32
             assert (gm[tile, c, word] >> bit) & 1, (i, tile, g, c)
+
+
+class TestGroupedAnyHit:
+    """Grouped culled any-hit (form-factor visibility backend): must
+    agree with the brute-force occluded oracle, including the segment
+    window and the two-primitive exclusion."""
+
+    def test_matches_bruteforce_segments(self):
+        geom = subdivide(cornell_box("quads"), 3).build()  # 2048 tris
+        key = jax.random.key(7)
+        ko, kd, km, ke = jax.random.split(key, 4)
+        n = 4096
+        o = jax.random.uniform(
+            ko, (n, 3), minval=-2.4, maxval=2.4
+        ) + jnp.array([0.0, 2.75, 0.0])
+        d = jax.random.normal(kd, (n, 3))
+        d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+        maxd = jax.random.uniform(km, (n,), minval=0.2, maxval=8.0)
+        ex_a = jax.random.randint(ke, (n,), -1, geom.num_prims)
+        ex_b = jax.random.randint(
+            jax.random.fold_in(ke, 1), (n,), -1, geom.num_prims
+        )
+        from tpu_pathtracer.ops.intersect import occluded
+
+        ref = np.asarray(occluded(geom, o, d, maxd, ex_a, ex_b))
+        cs = ip.CulledScene(geom)
+        got = np.asarray(cs.occluded(o, d, maxd, ex_a, ex_b))
+        np.testing.assert_array_equal(got, ref)
+
+    def test_ff_pair_segments(self):
+        """The exact shape the radiosity FF pass emits: surface-point
+        pairs with source/target exclusion (form_factors.h:144-209).
+        Same geometry/batch shapes as the segments test above so the
+        237 s interpret-mode kernel compile is paid once per suite."""
+        from tpu_pathtracer.ops.intersect import occluded
+        from tpu_pathtracer.render.radiosity import (
+            sample_uniform_on_prims,
+        )
+
+        geom = subdivide(cornell_box("quads"), 3).build()
+        n_prims = geom.num_prims
+        key = jax.random.key(19)
+        ki, kj, ku = jax.random.split(key, 3)
+        n = 4096
+        pi_idx = jax.random.randint(ki, (n,), 0, n_prims)
+        pj_idx = jax.random.randint(kj, (n,), 0, n_prims)
+        u = jax.random.uniform(ku, (4, n))
+        p_i = sample_uniform_on_prims(geom, pi_idx, u[0], u[1])
+        p_j = sample_uniform_on_prims(geom, pj_idx, u[2], u[3])
+        seg = p_j - p_i
+        r = jnp.linalg.norm(seg, axis=-1)
+        sd = seg / jnp.maximum(r, 1e-20)[:, None]
+        ni = geom.normal[pi_idx]
+        o = p_i + ni * 1e-4
+        maxd = r - 2e-4
+        ref = np.asarray(occluded(geom, o, sd, maxd, pi_idx, pj_idx))
+        cs = ip.CulledScene(geom)
+        got = np.asarray(cs.occluded(o, sd, maxd, pi_idx, pj_idx))
+        np.testing.assert_array_equal(got, ref)

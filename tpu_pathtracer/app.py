@@ -216,16 +216,15 @@ class App:
                     g, cfg.sigma_spatial
                 )
         occlusion_packs = None
-        if self.tri_pack is not None or self.culled is not None:
-            from .ops.intersect_pallas import (
-                pack_prim_ids,
-                pack_triangles,
-            )
+        if self.culled is not None:
+            # grouped culled any-hit: segments test only pierced
+            # clusters — the HBM-scale form-factor visibility backend
+            occlusion_packs = self.culled
+        elif self.tri_pack is not None:
+            from .ops.intersect_pallas import pack_prim_ids
 
             occlusion_packs = (
-                self.tri_pack
-                if self.tri_pack is not None
-                else pack_triangles(self.geom),
+                self.tri_pack,
                 pack_prim_ids(self.geom),
             )
         with self.profiler.stage("Radiosity Solve"):

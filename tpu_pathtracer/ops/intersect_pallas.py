@@ -461,7 +461,10 @@ def pack_triangles_ordered(geom: Geometry, order: np.ndarray):
     constants on sublanes, triangles on lanes. Unlike the (Tpad, 16)
     layout this has no lane padding (exact 64B/triangle), so XLA can stage
     it in VMEM inside loops without 8x bloat, and per-cluster slices are
-    lane-aligned for DMA. Returns (tri_pack_T, cluster_min, cluster_max).
+    lane-aligned for DMA. Row 12 carries the triangle's LOGICAL primitive
+    id (f32-exact below 2^24; padding lanes get -2, matching no real
+    primitive) so the any-hit variant can apply source/target exclusion
+    in-kernel. Returns (tri_pack_T, cluster_min, cluster_max).
     """
     inv = np.asarray(geom.tri_inv)[order]
     v0 = np.asarray(geom.tri_v0)[order]
@@ -472,6 +475,8 @@ def pack_triangles_ordered(geom: Geometry, order: np.ndarray):
     out = np.zeros((tpad, 16), np.float32)
     out[:t, 0:9] = inv.reshape(t, 9)
     out[:t, 9:12] = np.einsum("tij,tj->ti", inv, v0)
+    out[:t, 12] = np.asarray(geom.tri_prim)[order]
+    out[t:, 12] = -2.0
 
     v1, v2 = v0 + e1, v0 + e2
     tmin = np.minimum(np.minimum(v0, v1), v2)
@@ -783,6 +788,16 @@ class CulledScene:
             albedo=row[:, 3:6],
             emission=jnp.where(valid[:, None], row[:, 6:9], 0.0),
             material=row[:, 9].astype(jnp.int32),
+        )
+
+    def occluded(self, o, d, max_dist, exclude_a=None, exclude_b=None):
+        """Segment any-hit through the grouped culled kernel — the
+        form-factor visibility backend for HBM-scale scenes (drop-in
+        for ops.intersect.occluded; same eps=1e-5 window and two
+        excluded logical primitives, form_factors.h:144-209)."""
+        return pallas_occluded_dma_grouped(
+            self.tri_pack, self.cluster_min, self.cluster_max,
+            o, d, max_dist, exclude_a, exclude_b,
         )
 
 
@@ -1713,14 +1728,18 @@ _GROUPED_EARLY_OUT = False  # group-level front-to-back exit: measured NET-NEGAT
 
 
 def _kernel_prepass_groups(cb_ref, ox, oy, oz, ix, iy, iz, scal_ref,
-                           ghit_ref, tn_ref, texit_ref):
+                           ghit_ref, tn_ref, texit_ref, md_ref=None):
     """Group-granular cluster visibility pre-pass.
 
     Transposed ray layout: (8, 128) blocks with lane = group, sublane =
     ray slot. One grid step = (tile i) x (128-cluster block j); per slot
     the slab test is a dense (128 clusters, 128 groups) VPU op,
     OR-accumulated over the 8 slots. Outputs per (tile, cluster): group
-    hit flags (128 lanes) and the tile-min entry distance."""
+    hit flags (128 lanes) and the tile-min entry distance.
+
+    With md_ref (per-ray segment length, any-hit mode) clusters whose
+    slab entry lies beyond the ray's segment are culled: every triangle
+    of the cluster then has t >= tn > maxd, outside the any-hit window."""
     t_min = scal_ref[0]
     n_real = scal_ref[1]
     j = pl.program_id(1)
@@ -1747,6 +1766,8 @@ def _kernel_prepass_groups(cb_ref, ox, oy, oz, ix, iy, iz, scal_ref,
             tn = jnp.maximum(tn, jnp.minimum(lo, hi))
             tf = jnp.minimum(tf, jnp.maximum(lo, hi))
         hit = (tf >= tn) & (tf > 0.0)         # (clusters, groups)
+        if md_ref is not None:
+            hit = hit & (tn <= md_ref[s:s + 1, :])
         hit_acc = jnp.maximum(
             hit_acc, (hit & cvalid).astype(jnp.float32)
         )
@@ -1798,10 +1819,19 @@ def _kernel_prepass_groups(cb_ref, ox, oy, oz, ix, iy, iz, scal_ref,
     )
 
 
-def _prepass_groups(cluster_min, cluster_max, comps, t_min, b):
+def _kernel_prepass_groups_seg(cb_ref, ox, oy, oz, ix, iy, iz, md,
+                               scal_ref, ghit_ref, tn_ref, texit_ref):
+    """Segment-bounded (any-hit) variant: extra per-ray maxd operand."""
+    _kernel_prepass_groups(cb_ref, ox, oy, oz, ix, iy, iz, scal_ref,
+                           ghit_ref, tn_ref, texit_ref, md_ref=md)
+
+
+def _prepass_groups(cluster_min, cluster_max, comps, t_min, b,
+                    maxd=None):
     """Run the group pre-pass on transposed ray comps.
 
-    comps: 6 arrays (tiles*8, 128). Returns (ghit (tiles, Cpad, 8)
+    comps: 6 arrays (tiles*8, 128); maxd optionally a 7th (segment
+    length per ray, any-hit culling). Returns (ghit (tiles, Cpad, 8)
     f32 16-bit-halfword group masks, tn (tiles, Cpad), n_clusters,
     Cpad)."""
     c = cluster_min.shape[0]
@@ -1828,13 +1858,14 @@ def _prepass_groups(cluster_min, cluster_max, comps, t_min, b):
         memory_space=pltpu.VMEM,
     )
     ghit, tn, texit = pl.pallas_call(
-        _kernel_prepass_groups,
+        _kernel_prepass_groups if maxd is None
+        else _kernel_prepass_groups_seg,
         grid=(tiles, cpad // TRI_CHUNK),
         in_specs=[
             pl.BlockSpec((8, TRI_CHUNK), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM)
         ]
-        + [ray_spec] * 6
+        + [ray_spec] * (6 if maxd is None else 7)
         + [pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_specs=[
             pl.BlockSpec((1, TRI_CHUNK, GROUP),
@@ -1854,6 +1885,7 @@ def _prepass_groups(cluster_min, cluster_max, comps, t_min, b):
         ],
     )(
         cb, ox, oy, oz, ix, iy, iz,
+        *(() if maxd is None else (maxd,)),
         jnp.stack([
             jnp.asarray(t_min, jnp.float32),
             jnp.asarray(float(c), jnp.float32),
@@ -1862,7 +1894,8 @@ def _prepass_groups(cluster_min, cluster_max, comps, t_min, b):
     return ghit, tn[:, 0, :], texit, c, cpad
 
 
-def _cluster_list_groups(cluster_min, cluster_max, comps, t_min, b):
+def _cluster_list_groups(cluster_min, cluster_max, comps, t_min, b,
+                         maxd=None):
     """Schedule + group masks for the grouped kernel.
 
     Returns (count (tiles,), keys (tiles, Cpad), gmask
@@ -1870,7 +1903,7 @@ def _cluster_list_groups(cluster_min, cluster_max, comps, t_min, b):
     (tiles, 2) distance-bucket dequantization, texit
     (tiles, 8, 128) per-ray interest bounds)."""
     ghit, tn, texit, c, cpad = _prepass_groups(
-        cluster_min, cluster_max, comps, t_min, b
+        cluster_min, cluster_max, comps, t_min, b, maxd=maxd
     )
     # ghit: (tiles, Cpad, 8) f32 16-bit halfword sums (packed in-kernel)
     tiles = ghit.shape[0]
@@ -2372,3 +2405,269 @@ def pallas_closest_tuv_dma_grouped(tri_pack, cluster_min, cluster_max,
         )
 
     return untcomp(t)[:b0], untcomp(idx)[:b0]
+
+
+# ---------------------------------------------------------------------------
+# Grouped any-hit: form-factor visibility at scale
+# ---------------------------------------------------------------------------
+#
+# The N^2 radiosity form-factor pass (visibility_test_anyhit,
+# form_factors.h:144-209) is a ray workload as large as rendering itself:
+# N^2 pairs x S sample segments, each tested against EVERY triangle by the
+# brute/VMEM any-hit backends (32k tests/segment at subdivision 5). This
+# variant reuses the grouped culled machinery — median-split clusters,
+# group-granular prepass (with the ray's segment length as an extra cull
+# bound), sorted SMEM schedule, 8-deep cluster DMA ring — so each segment
+# only tests the clusters its line pierces within (eps, maxd]. Exclusion
+# of the source/target primitives rides row 12 of the ordered tri pack.
+
+
+def _kernel_grouped_anyhit_dma(count_ref, sched_hbm, comp_hbm, tri_hbm,
+                               out_ref,
+                               scratch, sem, hcand,
+                               smem_ring, smem_sem,
+                               comp_ring, comp_sem, bcast):
+    """Any-hit walk: OR-accumulates the blocked flag per (ray slot,
+    group) in a VMEM accumulator; no (t, id) tracking, no tie-breaks.
+    Same prefetch structure as _kernel_grouped_dma; comp pack carries
+    NINE per-ray values (o, d, maxd, ex_a, ex_b)."""
+    i = pl.program_id(0)
+    n_tiles = pl.num_programs(0)
+    cur = jax.lax.rem(i, 2)
+    nxt = jax.lax.rem(i + 1, 2)
+
+    def sched_dma(slot, t):
+        return pltpu.make_async_copy(
+            sched_hbm.at[t], smem_ring.at[slot], smem_sem.at[slot]
+        )
+
+    def comp_dma(slot, t):
+        return pltpu.make_async_copy(
+            comp_hbm.at[t], comp_ring.at[slot], comp_sem.at[slot]
+        )
+
+    @pl.when(i == 0)
+    def _():
+        sched_dma(0, 0).start()
+        comp_dma(0, 0).start()
+
+    @pl.when(i + 1 < n_tiles)
+    def _():
+        sched_dma(nxt, i + 1).start()
+        comp_dma(nxt, i + 1).start()
+
+    sched_dma(cur, i).wait()
+    comp_dma(cur, i).wait()
+
+    for c in range(9):
+        for g in range(GROUPS_PER_TILE):
+            bcast[c * RAYS_PER_TILE + g * GROUP:
+                  c * RAYS_PER_TILE + (g + 1) * GROUP, :] = (
+                jnp.broadcast_to(
+                    comp_ring[cur, c * GROUP:(c + 1) * GROUP, g:g + 1],
+                    (GROUP, RAY_TILE),
+                )
+            )
+
+    n_active = count_ref[i]
+
+    def sched(k):
+        return smem_ring[cur, 0, k]
+
+    def get_dma(slot, k):
+        cid = sched(k) & (_MAX_CLUSTERS - 1)
+        return pltpu.make_async_copy(
+            tri_hbm.at[:, pl.ds(cid * TRI_CHUNK, TRI_CHUNK)],
+            scratch.at[slot],
+            sem.at[slot],
+        )
+
+    def prime(k, carry):
+        @pl.when(k < n_active)
+        def _():
+            get_dma(jax.lax.rem(k, _DMA_RING), k).start()
+
+        return carry
+
+    jax.lax.fori_loop(0, _DMA_RING - 1, prime, 0)
+
+    hcand[...] = jnp.zeros(
+        (GROUP, GROUPS_PER_TILE * TRI_CHUNK), jnp.float32
+    )
+    lane_iota = jax.lax.broadcasted_iota(
+        jnp.int32, (GROUP, RAY_TILE), 1
+    )
+    cpad = smem_ring.shape[2]
+
+    def body(k, carry):
+        slot = jax.lax.rem(k, _DMA_RING)
+        ahead = jnp.minimum(k + _DMA_RING - 1, cpad - 1)
+
+        @pl.when(k + _DMA_RING - 1 < n_active)
+        def _():
+            get_dma(jax.lax.rem(ahead, _DMA_RING), ahead).start()
+
+        get_dma(slot, k).wait()
+
+        cid = sched(k) & (_MAX_CLUSTERS - 1)
+        trb = scratch[slot]                    # (16, 128)
+        (r0, r1, r2, r3, r4, r5, r6, r7, r8, r9, r10, r11) = [
+            trb[kk:kk + 1, :] for kk in range(12)
+        ]
+        prim_row = trb[12:13, :]               # (1, 128) logical prim id
+
+        def process_group(g):
+            s0 = g * GROUP
+
+            def ext(c):
+                return bcast[
+                    pl.ds(c * RAYS_PER_TILE + s0, GROUP), :
+                ]                                          # (8, 128)
+
+            rox, roy, roz = ext(0), ext(1), ext(2)
+            rdx, rdy, rdz = ext(3), ext(4), ext(5)
+            rmax, rea, reb = ext(6), ext(7), ext(8)
+            os_ = r6 * rox + r7 * roy + r8 * roz - r11
+            ds_ = r6 * rdx + r7 * rdy + r8 * rdz
+            t = -os_ / ds_
+            u = (
+                r0 * rox + r1 * roy + r2 * roz - r9
+            ) + t * (r0 * rdx + r1 * rdy + r2 * rdz)
+            v = (
+                r3 * rox + r4 * roy + r5 * roz - r10
+            ) + t * (r3 * rdx + r4 * rdy + r5 * rdz)
+            # the any-hit window (eps=1e-5 < t < maxd) + two excluded
+            # primitive ids, exactly pallas_occluded's predicate
+            # (visibility_test_anyhit, form_factors.h:144-209)
+            ok = (
+                (jnp.minimum(u, v) >= 0.0) & (u + v <= 1.0)
+                & (t > 1e-5) & (t < rmax)
+                & (prim_row != rea) & (prim_row != reb)
+            )
+            off = g * TRI_CHUNK
+            hcand[:, pl.ds(off, TRI_CHUNK)] = jnp.maximum(
+                hcand[:, pl.ds(off, TRI_CHUNK)],
+                ok.astype(jnp.float32),
+            )
+
+        for w in range(4):
+            def bit_body(m):
+                lb1 = m & (-m)
+                m1 = m & (m - 1)
+                lb2 = m1 & (-m1)
+                m2 = m1 & (m1 - 1)
+                g1 = w * 32 + _log2_onehot(lb1)
+                g2 = jnp.where(lb2 != 0, w * 32 + _log2_onehot(lb2), g1)
+                process_group(g1)
+                process_group(g2)
+                return m2
+
+            jax.lax.while_loop(
+                lambda m: m != 0, bit_body,
+                smem_ring[cur, 1 + w, cid],
+            )
+        return carry
+
+    jax.lax.fori_loop(0, n_active, body, jnp.int32(-1))
+
+    acc = jnp.zeros((GROUP, RAY_TILE), jnp.float32)
+    for g in range(GROUPS_PER_TILE):
+        hg = hcand[:, g * TRI_CHUNK:(g + 1) * TRI_CHUNK]
+        hw = jnp.max(hg, axis=1, keepdims=True)            # (8, 1)
+        acc = jnp.where(lane_iota == g, hw, acc)
+    out_ref[...] = acc
+
+
+@partial(jax.jit, static_argnames=())
+def pallas_occluded_dma_grouped(tri_pack, cluster_min, cluster_max,
+                                o, d, max_dist,
+                                exclude_a=None, exclude_b=None):
+    """Blocked mask for ray segments via the grouped culled kernel
+    (any batch size; padded internally). Drop-in for
+    ops.intersect.occluded / pallas_occluded on HBM-scale scenes:
+    each segment tests only the median-split clusters its line pierces
+    within (1e-5, maxd], not the whole triangle set.
+
+    tri_pack must come from pack_triangles_ordered (row 12 = logical
+    prim ids for the exclusion test)."""
+    if exclude_a is None:
+        exclude_a = jnp.full((o.shape[0],), -1, jnp.int32)
+    if exclude_b is None:
+        exclude_b = jnp.full((o.shape[0],), -1, jnp.int32)
+    max_dist = jnp.broadcast_to(
+        jnp.asarray(max_dist, jnp.float32), (o.shape[0],)
+    )
+    (o, d, max_dist, exa, exb), b0 = _pad_rays(
+        o, d, max_dist,
+        exclude_a.astype(jnp.float32), exclude_b.astype(jnp.float32),
+    )
+    b = o.shape[0]
+    # padded lanes: max_dist fill of 1.0 could report blocked; force 0
+    # (the prepass then finds zero clusters for them: tn >= 1e-5 > 0)
+    lane_ok = jnp.arange(b) < b0
+    max_dist = jnp.where(lane_ok, max_dist, 0.0)
+    tiles = b // RAYS_PER_TILE
+
+    def tcomp(x):
+        return (
+            x.reshape(tiles, GROUPS_PER_TILE, GROUP)
+            .transpose(0, 2, 1)
+            .reshape(tiles * GROUP, RAY_TILE)
+        )
+
+    comps = [tcomp(o[:, 0]), tcomp(o[:, 1]), tcomp(o[:, 2]),
+             tcomp(d[:, 0]), tcomp(d[:, 1]), tcomp(d[:, 2])]
+    md_t, exa_t, exb_t = tcomp(max_dist), tcomp(exa), tcomp(exb)
+    count, keys, gmask, _lostep, _texit = _cluster_list_groups(
+        cluster_min, cluster_max, comps, 1e-5, b, maxd=md_t
+    )
+    cpad = keys.shape[1]
+    sched_pack = jnp.concatenate(
+        [keys[:, None, :], gmask.transpose(0, 2, 1),
+         jnp.zeros((tiles, 3, cpad), jnp.int32)], axis=1
+    )
+    comp_pack = jnp.concatenate(
+        [x.reshape(tiles, GROUP, GROUPS_PER_TILE)
+         for x in comps + [md_t, exa_t, exb_t]],
+        axis=1,
+    )                            # (tiles, 9*8, 128)
+    out = pl.pallas_call(
+        _kernel_grouped_anyhit_dma,
+        grid=(tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (GROUP, RAY_TILE), lambda i: (i, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (tiles * GROUP, RAY_TILE), jnp.float32
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((_DMA_RING, 16, TRI_CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA((_DMA_RING,)),
+            pltpu.VMEM((GROUP, GROUPS_PER_TILE * TRI_CHUNK),
+                       jnp.float32),
+            pltpu.SMEM((2, 8, cpad), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, 9 * GROUP, RAY_TILE), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((9 * RAYS_PER_TILE, RAY_TILE), jnp.float32),
+        ],
+    )(
+        count,
+        sched_pack,
+        comp_pack,
+        tri_pack,
+    )
+
+    blocked = (
+        out.reshape(tiles, GROUP, GROUPS_PER_TILE)
+        .transpose(0, 2, 1)
+        .reshape(b)
+    )
+    return blocked[:b0] > 0.0

@@ -178,10 +178,16 @@ def analytic_form_factors(geom: Geometry, row_chunk: int = 64,
 
 
 def _occluded_dispatch(geom, o, d, maxd, ex_a, ex_b, occlusion_packs):
-    """Brute-force XLA any-hit, or the Pallas any-hit kernel when packs
-    are provided (large scenes / TPU: ~10x less HBM traffic)."""
+    """Brute-force XLA any-hit, the VMEM Pallas any-hit kernel when
+    (tri_pack, prim_pack) are provided, or the grouped culled-DMA
+    any-hit when a CulledScene is provided (HBM-scale scenes: each
+    segment tests only the clusters its line pierces, not all T
+    triangles — the lever that makes high-subdivision solves
+    tractable)."""
     if occlusion_packs is None:
         return occluded(geom, o, d, maxd, exclude_a=ex_a, exclude_b=ex_b)
+    if hasattr(occlusion_packs, "occluded"):   # CulledScene
+        return occlusion_packs.occluded(o, d, maxd, ex_a, ex_b)
     from ..ops.intersect_pallas import pallas_occluded
 
     from ..ops.intersect_pallas import ray_batch_multiple
@@ -361,7 +367,14 @@ def mc_form_factors(
     # so group size adapts to scene scale (the old sample-count-only
     # budget let a sub-5 cbox call run ~80 s and trip the watchdog).
     test_budget = 4.0e11   # ~20 s at the measured 21G pair-tests/s
-    per_chunk = rc * n * max(n_samples, 1) * max(geom.num_tris, 1)
+    # Culled any-hit backend: each segment tests ~touched-clusters x 128
+    # triangles, not all T — budget with a conservative effective count
+    # (T/8, floored at 1024) so launches stay under the ~60 s watchdog
+    # without collapsing to needless tiny dispatches.
+    eff_tris = max(geom.num_tris, 1)
+    if hasattr(occlusion_packs, "occluded"):   # CulledScene
+        eff_tris = min(eff_tris, max(1024, eff_tris // 8))
+    per_chunk = rc * n * max(n_samples, 1) * eff_tris
     chunks_per_call = max(1, int(test_budget / per_chunk))
     rows_per_call = chunks_per_call * rc
     if npad <= rows_per_call:
