@@ -143,7 +143,9 @@ def _analytic_ff_rows(geom: Geometry, row_ids, row_chunk: int,
             geom,
             flat(o),
             flat(dn),
-            flat(dist - 2e-4),
+            # non-facing pairs never use their blocked value: zero the
+            # segment so the culled backend skips them for free
+            flat(jnp.where(facing, dist - 2e-4, 0.0)),
             jnp.repeat(rows, n),
             jnp.tile(jnp.arange(n), rows.shape[0]),
             occlusion_packs,
@@ -268,11 +270,17 @@ def mc_form_factors_rows(
             )
 
             flat = lambda x: x.reshape(-1, *x.shape[2:])
+            # Inactive lanes (back-face culled, r too small, s beyond
+            # the adaptive count) never consume their blocked value —
+            # zero their segment so the culled any-hit backend's
+            # prepass finds no clusters and the walk skips them free.
+            # ok is unchanged for every backend (blocked(maxd=0) is
+            # False and is masked by `active` anyway).
             blocked = _occluded_dispatch(
                 geom,
                 flat(p_i + ni * 1e-4 * jnp.ones_like(sd)),
                 flat(sd),
-                flat(r - 2e-4),
+                flat(jnp.where(active, r - 2e-4, 0.0)),
                 flat(rows_b),
                 flat(cols_b),
                 occlusion_packs,
