@@ -132,6 +132,26 @@ def main():
     except Exception as e:  # noqa: BLE001
         extra["cbox512_mirror"] = f"error: {e}"
 
+    # --- radiosity solver at scale: sub-5 cbox (16,384 prims) ---
+    # 268M FF pairs x 2 MC segments, grouped culled any-hit visibility.
+    # Round-2 VMEM backend: 563.6 s; round-3 culled: ~34 s (16.8x).
+    try:
+        import jax
+
+        from tpu_pathtracer.render.radiosity import solve_radiosity
+        from tpu_pathtracer.scene.mesh import subdivide
+
+        geom_r = subdivide(cornell_box("quads"), 5).build()
+        t0 = time.time()
+        sol5 = solve_radiosity(
+            geom_r, jax.random.key(12345), num_iterations=8,
+            mc_samples=2, occlusion_packs=CulledScene(geom_r),
+        )
+        jax.block_until_ready(sol5.radiosity)
+        extra["radiosity_sub5_solve_s"] = round(time.time() - t0, 1)
+    except Exception as e:  # noqa: BLE001
+        extra["radiosity_sub5_solve_s"] = f"error: {e}"
+
     # --- config #4: 101k-tri pbrt stress scene, culled DMA backend ---
     try:
         import numpy as np
