@@ -216,6 +216,73 @@ class TestIterations:
         assert np.asarray(sol.history_at(5)).sum() == 0.0
 
 
+class TestShooting:
+    """Matrix-free progressive shooting must converge to the gather
+    solver's fixed point (same MC estimator, independent draws)."""
+
+    def test_matches_gather_solution(self):
+        import jax
+
+        from tpu_pathtracer.render.radiosity import (
+            solve_radiosity_shooting,
+        )
+        from tpu_pathtracer.scene.builtin import cornell_box
+        from tpu_pathtracer.scene.mesh import subdivide
+
+        geom = subdivide(cornell_box("quads"), 1).build()  # 64 prims
+        key = jax.random.key(12345)
+        gather = solve_radiosity(geom, key, num_iterations=20,
+                                 mc_samples=64)
+        shoot = solve_radiosity_shooting(
+            geom, key, steps=40, shooters_per_step=16,
+            mc_samples=64, check_every=4,
+        )
+        bg = np.asarray(gather.radiosity)
+        bs = np.asarray(shoot.radiosity)
+        rel = np.linalg.norm(bs - bg) / np.linalg.norm(bg)
+        assert rel < 0.01, rel                 # MC-noise-level agreement
+        # unshot power drained to the early-exit tolerance
+        assert float(jnp.abs(shoot.unshot).sum()) < 0.05
+        # matrix-free: no (N, N) array anywhere
+        assert shoot.form_factors.size == 0
+        # deterministic under the same key
+        shoot2 = solve_radiosity_shooting(
+            geom, key, steps=40, shooters_per_step=16,
+            mc_samples=64, check_every=4,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(shoot2.radiosity), bs
+        )
+
+    def test_grids_match_gather_rebin(self):
+        """Converged shooting grids carry sum_j B_j x geometry — the
+        gather solver's rebin quantity — accumulated incrementally at
+        sample directions. Cell-level totals agree up to MC noise and
+        binning granularity; compare per-prim grid luminance sums."""
+        import jax
+
+        from tpu_pathtracer.core.math_utils import luminance
+        from tpu_pathtracer.render.radiosity import (
+            solve_radiosity_shooting,
+        )
+        from tpu_pathtracer.scene.builtin import cornell_box
+        from tpu_pathtracer.scene.mesh import subdivide
+
+        geom = subdivide(cornell_box("quads"), 1).build()
+        key = jax.random.key(7)
+        shoot = solve_radiosity_shooting(
+            geom, key, steps=40, shooters_per_step=16,
+            mc_samples=32, check_every=4,
+        )
+        g = np.asarray(luminance(shoot.rad_grid))   # (N, 256)
+        assert (g >= 0).all()
+        # every reflective prim facing the scene received energy
+        recv = g.sum(axis=1)
+        lit = np.asarray(luminance(shoot.radiosity)) > 1e-3
+        assert (recv[lit & (np.asarray(geom.emission).sum(1) == 0)]
+                > 0).all()
+
+
 class TestDirectionToCell:
     def test_up_is_row_zero(self):
         n = jnp.array([[0.0, 1.0, 0.0]])

@@ -32,7 +32,7 @@ import jax.numpy as jnp
 
 from ..core import rng as rng_mod
 from ..core.constants import GRID_RES, GRID_SIZE
-from ..core.math_utils import PI, dot, to_local
+from ..core.math_utils import PI, dot, luminance, to_local
 from ..ops.intersect import occluded
 from ..scene.mesh import Geometry
 
@@ -107,21 +107,23 @@ def sample_uniform_on_prims(geom: Geometry, prim_idx, r1, r2):
 # ---------------------------------------------------------------------------
 
 
-def _pair_culling(geom: Geometry, rows):
+def _pair_culling(geom: Geometry, rows, cols=None):
     """Shared centroid-based early culling (form_factors.h:243-262).
 
-    Returns (dir_norm, dist, cos_i, cos_j, facing) with shapes (R, N, ...).
-    """
+    Returns (dir_norm, dist, cos_i, cos_j, facing) with shapes (R, C, ...)
+    where cols defaults to all N primitives."""
+    if cols is None:
+        cols = jnp.arange(geom.num_prims)
     ci = geom.centroid[rows][:, None, :]          # (R, 1, 3)
-    cj = geom.centroid[None, :, :]                # (1, N, 3)
-    d = cj - ci                                   # (R, N, 3)
+    cj = geom.centroid[cols][None, :, :]          # (1, C, 3)
+    d = cj - ci                                   # (R, C, 3)
     dist = jnp.linalg.norm(d, axis=-1)
     dn = d / jnp.maximum(dist, 1e-20)[..., None]
     ni = geom.normal[rows][:, None, :]
-    nj = geom.normal[None, :, :]
+    nj = geom.normal[cols][None, :, :]
     cos_i = dot(ni, dn)
     cos_j = -dot(nj, dn)
-    same = rows[:, None] == jnp.arange(geom.num_prims)[None, :]
+    same = rows[:, None] == cols[None, :]
     facing = (cos_i > 0.0) & (cos_j > 0.0) & (dist >= 1e-6) & ~same
     return dn, dist, cos_i, cos_j, facing
 
@@ -216,29 +218,44 @@ def mc_form_factors_rows(
     n_samples: int = 64,
     row_chunk: int = 16,
     occlusion_packs=None,
+    col_ids=None,
+    col_weight=None,
 ):
     """Monte-Carlo form factors for an explicit set of receiver rows —
-    the building block for both the single-chip solve and the shard_map
-    row-parallel solve (each device computes its own receiver band).
+    the building block for the single-chip solve, the shard_map
+    row-parallel solve (each device computes its own receiver band),
+    and the matrix-free shooting solver (col_ids = the shooter batch).
 
     Args:
         row_ids: (R,) int32 receiver primitive ids, R % row_chunk == 0.
+        col_ids: optional (C,) int32 source primitive ids (default: all
+            N primitives).
+        col_weight: optional (C, 3) radiance binned into the receiver
+            grids per unblocked sample (default: geom.emission[cols] —
+            the solver-start semantics, form_factors.h:313-323).
     Returns:
-        (ff, grid_counts, rad_grid) with leading dimension R.
+        (ff, grid_counts, rad_grid) with leading dimension R; ff has
+        trailing dimension C.
     """
     rc = min(row_chunk, row_ids.shape[0])
     n = geom.num_prims
+    cols = jnp.arange(n) if col_ids is None else col_ids
+    w_cols = (
+        geom.emission[cols] if col_weight is None else col_weight
+    )                                                 # (C, 3)
     fkey = rng_mod.stream_key(key, rng_mod.STREAM_FORMFACTOR)
 
     def do_rows(args):
         chunk_idx, rows = args
-        dn_c, dist_c, cos_i_c, cos_j_c, facing = _pair_culling(geom, rows)
+        dn_c, dist_c, cos_i_c, cos_j_c, facing = _pair_culling(
+            geom, rows, cols
+        )
         ni = geom.normal[rows][:, None, :]
-        nj = geom.normal[None, :, :]
+        nj = geom.normal[cols][None, :, :]
 
         # Adaptive sample count (form_factors.h:264-269).
         approx = (
-            cos_i_c * cos_j_c * geom.area[None, :]
+            cos_i_c * cos_j_c * geom.area[cols][None, :]
             / (PI * jnp.maximum(dist_c * dist_c, 1e-12))
         )
         actual = jnp.where(
@@ -250,9 +267,7 @@ def mc_form_factors_rows(
 
         ckey = jax.random.fold_in(fkey, chunk_idx)
         rows_b = jnp.broadcast_to(rows[:, None], dist_c.shape)
-        cols_b = jnp.broadcast_to(
-            jnp.arange(n)[None, :], dist_c.shape
-        )
+        cols_b = jnp.broadcast_to(cols[None, :], dist_c.shape)
 
         def one_sample(carry, s):
             (vis, ci_sum, cj_sum, d_sum, nvalid, gcount, gradv) = carry
@@ -297,14 +312,14 @@ def mc_form_factors_rows(
             # Direction-binned accumulation onto receiver i's grid
             # (form_factors.h:313-323): one-hot contraction over j replaces
             # atomics; summed over columns immediately.
-            cell = direction_to_cell(sd, ni)           # (R, N)
+            cell = direction_to_cell(sd, ni)           # (R, C)
             onehot = jax.nn.one_hot(cell, GRID_SIZE) * okf[..., None]
             gcount += jnp.sum(onehot, axis=1)          # (R, 256)
             gw = ct_i * ct_j / jnp.maximum(r * r, 1e-12)
             contrib = (
-                geom.emission[None, :, :]
-                * (gw * geom.area[None, :])[..., None]
-            )                                          # (R, N, 3)
+                w_cols[None, :, :]
+                * (gw * geom.area[cols][None, :])[..., None]
+            )                                          # (R, C, 3)
             gradv += jnp.einsum(
                 "rnc,rnd->rcd", onehot, jnp.where(ok[..., None], contrib, 0.0)
             )
@@ -327,7 +342,7 @@ def mc_form_factors_rows(
         avg_d = d_s / nvf
         vis_frac = vis / jnp.maximum(actual, 1).astype(jnp.float32)
         ff = vis_frac * (
-            avg_ci * avg_cj * geom.area[None, :]
+            avg_ci * avg_cj * geom.area[cols][None, :]
         ) / (PI * jnp.maximum(avg_d * avg_d, 1e-12))
         ff = jnp.where(nv > 0, jnp.clip(ff, 0.0, 1.0), 0.0)
         return ff, gcount, gradv
@@ -338,7 +353,7 @@ def mc_form_factors_rows(
         do_rows, (chunk_ids, row_ids.reshape(-1, rc))
     )
     return (
-        ff.reshape(r_total, n),
+        ff.reshape(r_total, cols.shape[0]),
         gcount.reshape(r_total, GRID_SIZE),
         gradv.reshape(r_total, GRID_SIZE, 3),
     )
@@ -562,6 +577,134 @@ def solve_radiosity(
 
     return RadiositySolution(
         form_factors=ff,
+        radiosity=radiosity,
+        unshot=unshot,
+        grid_counts=grid_counts,
+        rad_grid=rad_grid,
+        history=history,
+        history_index=jnp.int32(h_idx),
+        history_count=jnp.int32(h_cnt),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Matrix-free progressive shooting (beyond the N^2 matrix)
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("n_samples", "row_chunk", "k"))
+def _shoot_step(geom: Geometry, key, radiosity, unshot, rad_grid,
+                grid_counts, step_idx, *, k, n_samples, row_chunk,
+                occlusion_packs):
+    """One batched shooting step: pick the top-k unshot-power sources,
+    estimate the (N, k) form-factor block with the standard MC
+    estimator (same per-pair semantics as the gather solver), reflect
+    with the per-channel energy clamp, and accumulate the receivers'
+    directional grids with the shot radiance at the sample directions."""
+    n = geom.num_prims
+    power = luminance(unshot) * geom.area
+    _, shooters = jax.lax.top_k(power, k)              # (k,)
+
+    rc = min(row_chunk, n)
+    npad = ((n + rc - 1) // rc) * rc
+    row_ids = jnp.where(jnp.arange(npad) < n, jnp.arange(npad), 0)
+    shot = unshot[shooters]                            # (k, 3)
+    skey = jax.random.fold_in(key, step_idx)
+    ff_blk, gcount, gradv = mc_form_factors_rows(
+        geom, skey, row_ids, n_samples=n_samples, row_chunk=rc,
+        occlusion_packs=occlusion_packs,
+        col_ids=shooters, col_weight=shot,
+    )
+    ff_blk = ff_blk[:n]                                # (N, k)
+
+    # gather from the batch + reflect (radiosity_iteration_kernel
+    # semantics, form_factors.h:444-467, restricted to the shot columns)
+    incident = jnp.dot(
+        ff_blk, shot, precision=jax.lax.Precision.HIGHEST
+    )                                                  # (N, 3)
+    reflected = jnp.minimum(geom.albedo * incident, incident)
+    radiosity = radiosity + reflected
+    # every shooter's unshot is delivered exactly once; receivers bank
+    # the reflection for a later shot (top_k indices are distinct)
+    unshot = unshot.at[shooters].set(0.0) + reflected
+    rad_grid = rad_grid + gradv[:n]
+    grid_counts = grid_counts + gcount[:n]
+    shot_power = jnp.sum(power[shooters])
+    return radiosity, unshot, rad_grid, grid_counts, shot_power
+
+
+def solve_radiosity_shooting(
+    geom: Geometry,
+    key: jax.Array | None = None,
+    *,
+    steps: int = 64,
+    shooters_per_step: int = 128,
+    mc_samples: int = 4,
+    row_chunk: int | None = None,
+    occlusion_packs=None,
+    rel_tol: float = 1e-3,
+    check_every: int = 8,
+) -> RadiositySolution:
+    """Matrix-free progressive-refinement shooting (Cohen-style).
+
+    The gather solver (solve_radiosity) materializes the (N, N) form-
+    factor matrix — 1 GB at subdivision 5 and 17 GB at subdivision 6,
+    the reference's architectural scale ceiling (it allocates N^2
+    floats + N^2 curand states up front, application_state.h:705-715).
+    Shooting never forms the matrix: each step picks the
+    `shooters_per_step` primitives with the largest unshot power
+    (luminance x area), estimates only their (N, k) form-factor block
+    with the SAME MC estimator / adaptive sample counts / pair-excluded
+    any-hit visibility as the gather solver, distributes the unshot
+    radiance, and banks the reflections for later steps. O(N k) memory
+    and rays per step; converges to the same fixed point (the clamped
+    Jacobi iteration and shooting solve the same linear system).
+
+    Directional grids accumulate the shot radiance at the MC sample
+    directions; since every unit of a primitive's radiosity is shot
+    exactly once, the converged grids carry sum_j B_j x geometry — the
+    same quantity the gather solver's rebin computes from the full
+    matrix (update_radiosity_grid, form_factors.h:408-442), without
+    needing it.
+
+    Stops early when the total unshot power falls below rel_tol x the
+    initial emitted power (checked every check_every steps — each check
+    costs one device fetch)."""
+    if key is None:
+        key = rng_mod.base_key(12345)
+    n = geom.num_prims
+    k = min(shooters_per_step, n)
+    if row_chunk is None:
+        # visibility batches of ~32k segments per dispatch: big enough
+        # to amortize the culled kernel's per-call cost, small enough
+        # that the (rc, k, 256) grid one-hot stays well under the
+        # 100 MB intermediate band
+        row_chunk = max(16, 32768 // k)
+    radiosity = geom.emission
+    unshot = geom.emission
+    rad_grid = jnp.zeros((n, GRID_SIZE, 3), jnp.float32)
+    grid_counts = jnp.zeros((n, GRID_SIZE), jnp.float32)
+    p0 = float(jnp.sum(luminance(geom.emission) * geom.area))
+
+    history = jnp.zeros((RADIOSITY_HISTORY, n, 3), jnp.float32)
+    h_idx = 0
+    h_cnt = 0
+    for step in range(steps):
+        history = history.at[h_idx].set(radiosity)
+        h_idx = (h_idx + 1) % RADIOSITY_HISTORY
+        h_cnt = min(h_cnt + 1, RADIOSITY_HISTORY)
+        radiosity, unshot, rad_grid, grid_counts, _ = _shoot_step(
+            geom, key, radiosity, unshot, rad_grid, grid_counts,
+            jnp.int32(step), k=k, n_samples=mc_samples,
+            row_chunk=row_chunk, occlusion_packs=occlusion_packs,
+        )
+        if check_every and (step + 1) % check_every == 0:
+            rem = float(jnp.sum(luminance(unshot) * geom.area))
+            if rem < rel_tol * p0:
+                break
+
+    return RadiositySolution(
+        form_factors=jnp.zeros((0, 0), jnp.float32),   # matrix-free
         radiosity=radiosity,
         unshot=unshot,
         grid_counts=grid_counts,

@@ -349,9 +349,13 @@ def render_radiosity_view(
     settings: RenderSettings,
     include_emission: bool = True,
     display: str = "current",
+    culled=None,
 ):
     """Direct radiosity visualization (render_radiosity,
     integrator.h:460-504): primary hit -> Le + B_i, sqrt gamma, u8.
+    With `culled` (a CulledScene) the primary hit runs through the
+    cluster-culled kernel — required above ~100k triangles, where the
+    brute query's (chunk, T) intermediates stop fitting.
     With include_emission=False it visualizes an arbitrary per-primitive
     color field (used for radiosity-history delta images).
 
@@ -385,7 +389,12 @@ def render_radiosity_view(
             u = (x + jit2[:, 0]) / s.width
             v = (y + jit2[:, 1]) / s.height
             o, d = camera.get_rays(u, v)
-            hit = trace_primary(geom, o, d)
+            if culled is not None:
+                from .integrator import RAY_EPS
+
+                hit = culled.closest_hit(geom, o, d, t_min=RAY_EPS)
+            else:
+                hit = trace_primary(geom, o, d)
             base = radiosity[hit.prim]
             if include_emission and display != "legacy":
                 base = base + hit.emission
