@@ -102,26 +102,66 @@ class TestTiledRender:
 
 
 class TestShardedFormFactors:
-    def test_matches_unsharded(self):
+    def test_matches_unsharded_bitwise(self):
+        """Global-chunk RNG keying makes the row-sharded FF build
+        BITWISE equal to the single-chip matrix (same effective
+        row_chunk) — the film-sharding invariant, for the solver."""
         geom = cornell_box("quads").build()
         key = rng.base_key(3)
         ff_s, gc_s, gv_s = mc_form_factors_sharded(
             geom, key, n_samples=32, row_chunk=2
         )
-        # same computation single-device: identical only if the row
-        # partitioning/keys align, so compare statistically
         ff_u, gc_u, gv_u = mc_form_factors(
             geom, key, n_samples=32, row_chunk=2
         )
         assert ff_s.shape == ff_u.shape == (16, 16)
-        np.testing.assert_allclose(
-            np.asarray(ff_s).sum(), np.asarray(ff_u).sum(), rtol=0.15
-        )
-        # structural zeros (diagonal, backfacing) must match exactly
-        zs = np.asarray(ff_s) == 0
-        zu = np.asarray(ff_u) == 0
-        assert (zs == zu).mean() > 0.9
+        np.testing.assert_array_equal(np.asarray(ff_s),
+                                      np.asarray(ff_u))
+        np.testing.assert_array_equal(np.asarray(gc_s),
+                                      np.asarray(gc_u))
+        np.testing.assert_array_equal(np.asarray(gv_s),
+                                      np.asarray(gv_u))
         np.testing.assert_allclose(np.diag(np.asarray(ff_s)), 0.0)
+
+
+class TestShardedShooting:
+    def test_matches_single_chip(self):
+        """Row-sharded matrix-free shooting == single-chip shooting:
+        same top-k shooters (replicated unshot), same global-chunk MC
+        streams, local reflect + all_gather. Bitwise on radiosity."""
+        import jax
+
+        from tpu_pathtracer.parallel.sharding import (
+            make_mesh,
+            solve_radiosity_shooting_sharded,
+        )
+        from tpu_pathtracer.render.radiosity import (
+            solve_radiosity_shooting,
+        )
+        from tpu_pathtracer.scene.builtin import cornell_box
+        from tpu_pathtracer.scene.mesh import subdivide
+
+        geom = subdivide(cornell_box("quads"), 1).build()  # 64 prims
+        key = jax.random.key(11)
+        single = solve_radiosity_shooting(
+            geom, key, steps=12, shooters_per_step=16,
+            mc_samples=16, row_chunk=8, check_every=4,
+        )
+        sharded = solve_radiosity_shooting_sharded(
+            geom, key, mesh=make_mesh(8), steps=12,
+            shooters_per_step=16, mc_samples=16, row_chunk=8,
+            check_every=4,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(sharded.radiosity), np.asarray(single.radiosity)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(sharded.unshot), np.asarray(single.unshot)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(sharded.rad_grid), np.asarray(single.rad_grid)
+        )
+        assert sharded.form_factors.size == 0
 
 
 class TestTiledGuided:

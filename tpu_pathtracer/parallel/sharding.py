@@ -200,6 +200,11 @@ def mc_form_factors_sharded(
     `mc_form_factors_rows` (scene replicated — visibility needs the whole
     scene anyway) and the results concatenate along the sharded axis.
     Returns the same (ff, grid_counts, rad_grid) as mc_form_factors.
+
+    RNG streams are keyed by GLOBAL chunk index (chunk_offset = the
+    band's first chunk), so the sharded matrix is BITWISE identical to
+    the single-chip `mc_form_factors` of the same key — the same
+    invariant the tiled renderer keeps for films.
     """
     from ..render.radiosity import mc_form_factors_rows
 
@@ -219,11 +224,12 @@ def mc_form_factors_sharded(
         tile = jax.lax.axis_index("tile")
         return mc_form_factors_rows(
             geom,
-            jax.random.fold_in(key_rep, tile),
+            key_rep,
             rows_band,
             n_samples=n_samples,
             row_chunk=rc,
             occlusion_packs=occlusion_packs,
+            chunk_offset=tile * (band // rc),
         )
 
     ff, gc, gv = jax.jit(
@@ -341,6 +347,149 @@ def solve_radiosity_sharded(
         unshot=unshot,
         grid_counts=grid_counts,
         rad_grid=rad_grid,
+        history=history,
+        history_index=jnp.int32(h_idx),
+        history_count=jnp.int32(h_cnt),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sharded matrix-free shooting: receiver rows across the mesh
+# ---------------------------------------------------------------------------
+
+
+def solve_radiosity_shooting_sharded(
+    geom: Geometry,
+    key: jax.Array | None = None,
+    *,
+    mesh: Mesh | None = None,
+    steps: int = 64,
+    shooters_per_step: int = 128,
+    mc_samples: int = 4,
+    row_chunk: int | None = None,
+    occlusion_packs=None,
+    rel_tol: float = 1e-3,
+    check_every: int = 8,
+):
+    """Matrix-free progressive shooting with receiver rows sharded.
+
+    The scale-out of `solve_radiosity_shooting` (see its docstring for
+    the algorithm/semantics): per step every device estimates its own
+    receiver band's (band, k) form-factor block against the replicated
+    top-k shooter batch, reflects locally, and one `all_gather` of the
+    (N, 3) reflection vector replicates the new radiosity/unshot state
+    — the only cross-device traffic. Per-device memory is O(N/devices
+    x k); directional grids stay row-sharded. Combined with the
+    matrix-free formulation this moves BOTH walls of the reference's
+    radiosity architecture (the N^2 matrix, application_state.h:705-715,
+    and the single-GPU pass) out by the mesh size.
+
+    RNG streams are keyed by global chunk index, so with matching
+    row_chunk the result is BITWISE identical to the single-chip
+    shooting solve (tests/test_sharding.py asserts it).
+    """
+    from ..core import rng as rng_mod
+    from ..core.math_utils import luminance
+    from ..render.radiosity import (
+        RADIOSITY_HISTORY,
+        RadiositySolution,
+        mc_form_factors_rows,
+    )
+
+    if key is None:
+        key = rng_mod.base_key(12345)
+    if mesh is None:
+        mesh = make_mesh()
+    n_dev = int(mesh.devices.size)
+    n = geom.num_prims
+    k = min(shooters_per_step, n)
+    if row_chunk is None:
+        row_chunk = max(16, 32768 // k)
+    rc = min(row_chunk, max(1, n // n_dev))
+    band = ((n + n_dev - 1) // n_dev + rc - 1) // rc * rc
+    npad = band * n_dev
+    sh_rows = NamedSharding(mesh, P("tile"))
+    row_ids = jnp.where(jnp.arange(npad) < n, jnp.arange(npad), 0)
+    row_ids = jax.device_put(row_ids, sh_rows)
+
+    from ..core.constants import GRID_SIZE
+
+    rad_grid = jax.device_put(
+        jnp.zeros((npad, GRID_SIZE, 3), jnp.float32),
+        NamedSharding(mesh, P("tile", None, None)),
+    )
+    grid_counts = jax.device_put(
+        jnp.zeros((npad, GRID_SIZE), jnp.float32),
+        NamedSharding(mesh, P("tile", None)),
+    )
+
+    def body(rows_band, radiosity, unshot, grid_band, count_band,
+             step_key):
+        tile = jax.lax.axis_index("tile")
+        power = luminance(unshot) * geom.area          # replicated
+        _, shooters = jax.lax.top_k(power, k)
+        shot = unshot[shooters]                        # (k, 3)
+        ff_blk, gcount, gradv = mc_form_factors_rows(
+            geom, step_key, rows_band,
+            n_samples=mc_samples, row_chunk=rc,
+            occlusion_packs=occlusion_packs,
+            col_ids=shooters, col_weight=shot,
+            chunk_offset=tile * (band // rc),
+        )
+        incident = jnp.dot(
+            ff_blk, shot, precision=jax.lax.Precision.HIGHEST
+        )                                              # (band, 3)
+        albedo_rows = geom.albedo[rows_band]
+        reflected = jnp.minimum(albedo_rows * incident, incident)
+        reflected = jnp.where(
+            (jnp.arange(npad // n_dev) + tile * band < n)[:, None],
+            reflected, 0.0,
+        )
+        refl_full = jax.lax.all_gather(
+            reflected, "tile", axis=0, tiled=True
+        )[:n]
+        new_rad = radiosity + refl_full
+        new_unshot = unshot.at[shooters].set(0.0) + refl_full
+        return (new_rad, new_unshot, grid_band + gradv,
+                count_band + gcount)
+
+    step = jax.jit(
+        shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(P("tile"), P(), P(), P("tile", None, None),
+                      P("tile", None), P()),
+            out_specs=(P(), P(), P("tile", None, None),
+                       P("tile", None)),
+            check_vma=False,
+        )
+    )
+
+    radiosity = geom.emission
+    unshot = geom.emission
+    p0 = float(jnp.sum(luminance(geom.emission) * geom.area))
+    history = jnp.zeros((RADIOSITY_HISTORY, n, 3), jnp.float32)
+    h_idx = 0
+    h_cnt = 0
+    for s in range(steps):
+        history = history.at[h_idx].set(radiosity)
+        h_idx = (h_idx + 1) % RADIOSITY_HISTORY
+        h_cnt = min(h_cnt + 1, RADIOSITY_HISTORY)
+        radiosity, unshot, rad_grid, grid_counts = step(
+            row_ids, radiosity, unshot, rad_grid, grid_counts,
+            jax.random.fold_in(key, s),
+        )
+        if check_every and (s + 1) % check_every == 0:
+            rem = float(jnp.sum(luminance(unshot) * geom.area))
+            if rem < rel_tol * p0:
+                break
+
+    return RadiositySolution(
+        form_factors=jnp.zeros((0, 0), jnp.float32),   # matrix-free
+        radiosity=radiosity,
+        unshot=unshot,
+        grid_counts=grid_counts[:n],
+        rad_grid=rad_grid[:n],
         history=history,
         history_index=jnp.int32(h_idx),
         history_count=jnp.int32(h_cnt),

@@ -220,6 +220,7 @@ def mc_form_factors_rows(
     occlusion_packs=None,
     col_ids=None,
     col_weight=None,
+    chunk_offset=0,
 ):
     """Monte-Carlo form factors for an explicit set of receiver rows —
     the building block for the single-chip solve, the shard_map
@@ -233,6 +234,11 @@ def mc_form_factors_rows(
         col_weight: optional (C, 3) radiance binned into the receiver
             grids per unblocked sample (default: geom.emission[cols] —
             the solver-start semantics, form_factors.h:313-323).
+        chunk_offset: RNG stream offset added to the local chunk index.
+            A device computing the row band starting at global chunk g
+            passes chunk_offset=g so its MC draws are bitwise identical
+            to the same rows of a single-chip call — sharding the FF
+            build is then purely a performance decision.
     Returns:
         (ff, grid_counts, rad_grid) with leading dimension R; ff has
         trailing dimension C.
@@ -348,7 +354,7 @@ def mc_form_factors_rows(
         return ff, gcount, gradv
 
     r_total = row_ids.shape[0]
-    chunk_ids = jnp.arange(r_total // rc, dtype=jnp.int32)
+    chunk_ids = chunk_offset + jnp.arange(r_total // rc, dtype=jnp.int32)
     ff, gcount, gradv = jax.lax.map(
         do_rows, (chunk_ids, row_ids.reshape(-1, rc))
     )
