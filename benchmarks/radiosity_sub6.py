@@ -78,6 +78,9 @@ def main():
     write_png_bottom_up(out, img)
     print(f"wrote {out}")
 
+    from tpu_pathtracer.render.radiosity import ambient_correction
+
+    amb = float(jnp.abs(ambient_correction(geom, sol.unshot)).sum())
     result = {
         "prims": int(n),
         "tris": int(geom.num_tris),
@@ -85,6 +88,7 @@ def main():
         "mc_samples": args.samples,
         "solve_seconds": round(solve_s, 1),
         "unshot_residual_frac": unshot_rem / max(total, 1e-9),
+        "ambient_completion_frac": amb / max(total, 1e-9),
         "radiosity_mean": float(np.asarray(sol.radiosity).mean()),
     }
     with open(os.path.join(HERE, "radiosity_sub6_result.json"), "w") as f:

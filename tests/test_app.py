@@ -44,6 +44,20 @@ class TestLifecycle:
         assert img.shape == (32, 32, 3)
         assert img.max() > 0
 
+    def test_shooting_solver_config(self):
+        """radiosity_solver='shooting' routes run_solver through the
+        matrix-free path and the guided pipeline consumes its grids."""
+        app = App(small_cfg(sampling_mode="mis",
+                            radiosity_solver="shooting",
+                            shooting_steps=24, shooters_per_step=8,
+                            shooting_mc_samples=16))
+        app.prepare()
+        assert app.solution is not None
+        assert app.solution.form_factors.size == 0   # matrix-free
+        assert float(np.asarray(app.solution.radiosity).mean()) > 0
+        img = app.render()
+        assert img.max() > 0
+
     def test_history_delta_image(self):
         app = App(small_cfg(mc_samples=8, radiosity_iterations=4))
         img = app.render_history_delta(0, 2, boost=4.0)

@@ -254,6 +254,43 @@ class TestShooting:
             np.asarray(shoot2.radiosity), bs
         )
 
+    def test_ambient_closes_underconverged_tail(self):
+        """Stopping shooting early leaves undelivered unshot power; the
+        Cohen ambient completion must move the result TOWARD the
+        converged gather solution (and never hurt a drained solve)."""
+        import jax
+
+        from tpu_pathtracer.render.radiosity import (
+            solve_radiosity_shooting,
+        )
+        from tpu_pathtracer.scene.builtin import cornell_box
+        from tpu_pathtracer.scene.mesh import subdivide
+
+        geom = subdivide(cornell_box("quads"), 1).build()
+        key = jax.random.key(3)
+        gather = solve_radiosity(geom, key, num_iterations=20,
+                                 mc_samples=64)
+        bg = np.asarray(gather.radiosity)
+
+        def err(sol):
+            return (np.linalg.norm(np.asarray(sol.radiosity) - bg)
+                    / np.linalg.norm(bg))
+
+        kw = dict(steps=6, shooters_per_step=8, mc_samples=64,
+                  check_every=0)
+        early_amb = solve_radiosity_shooting(geom, key, ambient=True,
+                                             **kw)
+        early_raw = solve_radiosity_shooting(geom, key, ambient=False,
+                                             **kw)
+        # 6x8 = 48 shots over 64 prims: meaningfully under-converged
+        assert float(jnp.abs(early_raw.unshot).sum()) > 0.5
+        assert err(early_amb) < err(early_raw)
+        # ambient is an additive display completion; unshot diagnostics
+        # are untouched
+        np.testing.assert_array_equal(
+            np.asarray(early_amb.unshot), np.asarray(early_raw.unshot)
+        )
+
     def test_grids_match_gather_rebin(self):
         """Converged shooting grids carry sum_j B_j x geometry — the
         gather solver's rebin quantity — accumulated incrementally at

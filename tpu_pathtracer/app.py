@@ -227,21 +227,40 @@ class App:
                 self.tri_pack,
                 pack_prim_ids(self.geom),
             )
+        solver = cfg.radiosity_solver
+        if solver == "auto":
+            # the (N, N) gather matrix is 1 GB at 16,384 prims — past
+            # that the matrix-free shooting solver is the only option
+            solver = (
+                "shooting" if self.geom.num_prims > 16384 else "gather"
+            )
         with self.profiler.stage("Radiosity Solve"):
             t0 = time.perf_counter()
-            self.solution = solve_radiosity(
-                self.geom,
-                rng.base_key(cfg.seed + 12345),
-                num_iterations=cfg.radiosity_iterations,
-                use_monte_carlo=cfg.use_monte_carlo,
-                mc_samples=cfg.mc_samples,
-                filter_fn=filter_fn,
-                occlusion_packs=occlusion_packs,
-            )
+            if solver == "shooting":
+                from .render.radiosity import solve_radiosity_shooting
+
+                self.solution = solve_radiosity_shooting(
+                    self.geom,
+                    rng.base_key(cfg.seed + 12345),
+                    steps=cfg.shooting_steps,
+                    shooters_per_step=cfg.shooters_per_step,
+                    mc_samples=cfg.shooting_mc_samples,
+                    occlusion_packs=occlusion_packs,
+                )
+            else:
+                self.solution = solve_radiosity(
+                    self.geom,
+                    rng.base_key(cfg.seed + 12345),
+                    num_iterations=cfg.radiosity_iterations,
+                    use_monte_carlo=cfg.use_monte_carlo,
+                    mc_samples=cfg.mc_samples,
+                    filter_fn=filter_fn,
+                    occlusion_packs=occlusion_packs,
+                )
             jax.block_until_ready(self.solution.radiosity)
         log.info(
-            "Radiosity solved: %d prims, %d iterations, %.1f ms",
-            self.geom.num_prims, cfg.radiosity_iterations,
+            "Radiosity solved (%s): %d prims, %.1f ms",
+            solver, self.geom.num_prims,
             (time.perf_counter() - t0) * 1e3,
         )
         return self.solution

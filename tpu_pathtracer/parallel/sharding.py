@@ -370,6 +370,7 @@ def solve_radiosity_shooting_sharded(
     occlusion_packs=None,
     rel_tol: float = 1e-3,
     check_every: int = 8,
+    ambient: bool = True,
 ):
     """Matrix-free progressive shooting with receiver rows sharded.
 
@@ -441,17 +442,27 @@ def solve_radiosity_shooting_sharded(
         )                                              # (band, 3)
         albedo_rows = geom.albedo[rows_band]
         reflected = jnp.minimum(albedo_rows * incident, incident)
-        reflected = jnp.where(
-            (jnp.arange(npad // n_dev) + tile * band < n)[:, None],
-            reflected, 0.0,
-        )
+        real = (jnp.arange(npad // n_dev) + tile * band < n)[:, None]
+        reflected = jnp.where(real, reflected, 0.0)
         refl_full = jax.lax.all_gather(
             reflected, "tile", axis=0, tiled=True
         )[:n]
+        inc_full = jax.lax.all_gather(
+            incident, "tile", axis=0, tiled=True
+        )[:n]
         new_rad = radiosity + refl_full
         new_unshot = unshot.at[shooters].set(0.0) + refl_full
+        # measured transport stats for the ambient completion — same
+        # formula on the same gathered values as the single-chip step,
+        # so the correction stays bitwise-equal across layouts
+        a = geom.area[:, None]
+        st = jnp.stack([
+            jnp.sum(shot * geom.area[shooters][:, None], axis=0),
+            jnp.sum(inc_full * a, axis=0),
+            jnp.sum(refl_full * a, axis=0),
+        ])
         return (new_rad, new_unshot, grid_band + gradv,
-                count_band + gcount)
+                count_band + gcount, st)
 
     step = jax.jit(
         shard_map(
@@ -460,7 +471,7 @@ def solve_radiosity_shooting_sharded(
             in_specs=(P("tile"), P(), P(), P("tile", None, None),
                       P("tile", None), P()),
             out_specs=(P(), P(), P("tile", None, None),
-                       P("tile", None)),
+                       P("tile", None), P()),
             check_vma=False,
         )
     )
@@ -471,19 +482,25 @@ def solve_radiosity_shooting_sharded(
     history = jnp.zeros((RADIOSITY_HISTORY, n, 3), jnp.float32)
     h_idx = 0
     h_cnt = 0
+    stats = jnp.zeros((3, 3), jnp.float32)
     for s in range(steps):
         history = history.at[h_idx].set(radiosity)
         h_idx = (h_idx + 1) % RADIOSITY_HISTORY
         h_cnt = min(h_cnt + 1, RADIOSITY_HISTORY)
-        radiosity, unshot, rad_grid, grid_counts = step(
+        radiosity, unshot, rad_grid, grid_counts, st = step(
             row_ids, radiosity, unshot, rad_grid, grid_counts,
             jax.random.fold_in(key, s),
         )
+        stats = stats + st
         if check_every and (s + 1) % check_every == 0:
             rem = float(jnp.sum(luminance(unshot) * geom.area))
             if rem < rel_tol * p0:
                 break
 
+    if ambient:
+        from ..render.radiosity import ambient_correction
+
+        radiosity = radiosity + ambient_correction(geom, unshot, stats)
     return RadiositySolution(
         form_factors=jnp.zeros((0, 0), jnp.float32),   # matrix-free
         radiosity=radiosity,

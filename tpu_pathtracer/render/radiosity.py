@@ -635,8 +635,51 @@ def _shoot_step(geom: Geometry, key, radiosity, unshot, rad_grid,
     unshot = unshot.at[shooters].set(0.0) + reflected
     rad_grid = rad_grid + gradv[:n]
     grid_counts = grid_counts + gcount[:n]
-    shot_power = jnp.sum(power[shooters])
-    return radiosity, unshot, rad_grid, grid_counts, shot_power
+    # measured transport statistics, per channel: how much of the shot
+    # power arrived anywhere (open scenes lose the rest through the
+    # opening) and how much of THAT was re-banked — these calibrate the
+    # ambient completion of the residual tail (ambient_correction)
+    a = geom.area[:, None]
+    stats = jnp.stack([
+        jnp.sum(shot * geom.area[shooters][:, None], axis=0),
+        jnp.sum(incident * a, axis=0),
+        jnp.sum(reflected * a, axis=0),
+    ])                                                 # (3 stats, 3 ch)
+    return radiosity, unshot, rad_grid, grid_counts, stats
+
+
+def ambient_correction(geom: Geometry, unshot, stats=None) -> jax.Array:
+    """Ambient completion of the undelivered Neumann-series tail
+    (Cohen et al. 1988, 'A progressive refinement approach'), calibrated
+    by the solve's own measured transport when `stats` is given.
+
+    Cohen's closed-environment form assumes every shot watt lands
+    somewhere (sum_i F_ji = 1) and amplifies by R = 1/(1-rho_bar). Open
+    scenes (the Cornell box has no front wall) lose a large fraction of
+    every shot through the opening, and the closed form overestimates
+    the completion by exactly that loss, compounded by R — measured ~2x
+    too large on cbox. With `stats = (shot, delivered, reflected)`
+    per-channel power sums accumulated over the solve, the correction
+    uses the MEASURED delivery efficiency eta = delivered/shot and
+    re-bank ratio rho_eff = reflected/delivered instead:
+
+        incident-from-tail = eta * U * 1/(1 - rho_eff*eta)   per channel
+        B_i += rho_i * incident-from-tail * (uniform mixing: / sum A)
+
+    Returns the (N, 3) additive completion of `radiosity`."""
+    a = geom.area
+    a_sum = jnp.sum(a)
+    u_pow = jnp.sum(unshot * a[:, None], axis=0)                  # (3,)
+    if stats is None:
+        rho_bar = jnp.sum(geom.albedo * a[:, None], axis=0) / a_sum
+        eta = jnp.ones(3)
+        rho_eff = rho_bar
+    else:
+        shot_c, deliv_c, refl_c = stats
+        eta = deliv_c / jnp.maximum(shot_c, 1e-12)
+        rho_eff = refl_c / jnp.maximum(deliv_c, 1e-12)
+    amb = eta * u_pow / jnp.maximum(1.0 - rho_eff * eta, 1e-3) / a_sum
+    return geom.albedo * amb
 
 
 def solve_radiosity_shooting(
@@ -650,6 +693,7 @@ def solve_radiosity_shooting(
     occlusion_packs=None,
     rel_tol: float = 1e-3,
     check_every: int = 8,
+    ambient: bool = True,
 ) -> RadiositySolution:
     """Matrix-free progressive-refinement shooting (Cohen-style).
 
@@ -675,7 +719,10 @@ def solve_radiosity_shooting(
 
     Stops early when the total unshot power falls below rel_tol x the
     initial emitted power (checked every check_every steps — each check
-    costs one device fetch)."""
+    costs one device fetch). With ambient=True (default) the returned
+    radiosity additionally carries the Cohen ambient completion of
+    whatever unshot tail remains at the stop (see ambient_correction);
+    `unshot` itself is returned uncorrected for diagnostics."""
     if key is None:
         key = rng_mod.base_key(12345)
     n = geom.num_prims
@@ -695,20 +742,24 @@ def solve_radiosity_shooting(
     history = jnp.zeros((RADIOSITY_HISTORY, n, 3), jnp.float32)
     h_idx = 0
     h_cnt = 0
+    stats = jnp.zeros((3, 3), jnp.float32)    # shot/delivered/reflected
     for step in range(steps):
         history = history.at[h_idx].set(radiosity)
         h_idx = (h_idx + 1) % RADIOSITY_HISTORY
         h_cnt = min(h_cnt + 1, RADIOSITY_HISTORY)
-        radiosity, unshot, rad_grid, grid_counts, _ = _shoot_step(
+        radiosity, unshot, rad_grid, grid_counts, st = _shoot_step(
             geom, key, radiosity, unshot, rad_grid, grid_counts,
             jnp.int32(step), k=k, n_samples=mc_samples,
             row_chunk=row_chunk, occlusion_packs=occlusion_packs,
         )
+        stats = stats + st
         if check_every and (step + 1) % check_every == 0:
             rem = float(jnp.sum(luminance(unshot) * geom.area))
             if rem < rel_tol * p0:
                 break
 
+    if ambient:
+        radiosity = radiosity + ambient_correction(geom, unshot, stats)
     return RadiositySolution(
         form_factors=jnp.zeros((0, 0), jnp.float32),   # matrix-free
         radiosity=radiosity,

@@ -48,9 +48,16 @@ class Config:
     integrator: str = "pt"           # pt | radiosity (viz)
 
     # Radiosity solver
+    radiosity_solver: str = "auto"   # auto | gather | shooting
+    #   auto: gather (the reference's N^2 progressive refinement,
+    #   application_state.h:688-777) up to 16,384 prims, matrix-free
+    #   top-k shooting beyond — where the (N, N) matrix stops fitting
     radiosity_iterations: int = 10
     use_monte_carlo: bool = True
     mc_samples: int = 64
+    shooting_steps: int = 192        # shooting: step cap
+    shooters_per_step: int = 128     # shooting: top-k batch size
+    shooting_mc_samples: int = 4     # shooting: MC samples per FF pair
 
     # Grid filtering
     enable_grid_filtering: bool = False   # filter inside the solver loop
