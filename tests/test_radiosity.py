@@ -74,6 +74,26 @@ class TestFormFactors:
         # approximation of E[cos cos / r^2]); allow a few percent.
         assert float(ff[0, 1]) == pytest.approx(exact, rel=0.08)
 
+    def test_unbiased_estimator_beats_reference(self):
+        """estimator='unbiased' (per-sample double-area MC) must land
+        on the exact closed-form FF within MC noise; the reference's
+        ratio-of-averages combiner (same draws) is measurably biased
+        low on large close patches (the Jensen gap documented in
+        benchmarks/radiosity_forensics.py)."""
+        geom = parallel_squares(dist=1.0, side=2.0).build()
+        exact = exact_parallel_square_ff(2.0)
+        ff_u, _, _ = mc_form_factors(
+            geom, rng.base_key(3), n_samples=2048,
+            estimator="unbiased",
+        )
+        ff_r, _, _ = mc_form_factors(
+            geom, rng.base_key(3), n_samples=2048,
+        )
+        err_u = abs(float(ff_u[0, 1]) - exact) / exact
+        err_r = abs(float(ff_r[0, 1]) - exact) / exact
+        assert err_u < 0.03, (err_u, exact, float(ff_u[0, 1]))
+        assert err_u < err_r  # the reference combiner's Jensen bias
+
     def test_mc_reciprocity(self):
         """A_i F_ij ~= A_j F_ji (detailed balance; statistical)."""
         geom = parallel_squares(dist=1.5, side=1.0).build()

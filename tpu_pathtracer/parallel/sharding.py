@@ -193,6 +193,7 @@ def mc_form_factors_sharded(
     n_samples: int = 64,
     row_chunk: int = 16,
     occlusion_packs=None,
+    estimator: str = "reference",
 ):
     """(N, N) MC form factors with receiver rows sharded over the mesh.
 
@@ -230,6 +231,7 @@ def mc_form_factors_sharded(
             row_chunk=rc,
             occlusion_packs=occlusion_packs,
             chunk_offset=tile * (band // rc),
+            estimator=estimator,
         )
 
     ff, gc, gv = jax.jit(
@@ -371,6 +373,7 @@ def solve_radiosity_shooting_sharded(
     rel_tol: float = 1e-3,
     check_every: int = 8,
     ambient: bool = True,
+    estimator: str = "reference",
 ):
     """Matrix-free progressive shooting with receiver rows sharded.
 
@@ -436,6 +439,7 @@ def solve_radiosity_shooting_sharded(
             occlusion_packs=occlusion_packs,
             col_ids=shooters, col_weight=shot,
             chunk_offset=tile * (band // rc),
+            estimator=estimator,
         )
         incident = jnp.dot(
             ff_blk, shot, precision=jax.lax.Precision.HIGHEST

@@ -210,7 +210,8 @@ def _occluded_dispatch(geom, o, d, maxd, ex_a, ex_b, occlusion_packs):
     return pallas_occluded(tri_pack, prim_pack, o, d, maxd, ex_a, ex_b)[:b]
 
 
-@partial(jax.jit, static_argnames=("n_samples", "row_chunk"))
+@partial(jax.jit,
+         static_argnames=("n_samples", "row_chunk", "estimator"))
 def mc_form_factors_rows(
     geom: Geometry,
     key: jax.Array,
@@ -221,6 +222,7 @@ def mc_form_factors_rows(
     col_ids=None,
     col_weight=None,
     chunk_offset=0,
+    estimator: str = "reference",
 ):
     """Monte-Carlo form factors for an explicit set of receiver rows —
     the building block for the single-chip solve, the shard_map
@@ -239,6 +241,14 @@ def mc_form_factors_rows(
             passes chunk_offset=g so its MC draws are bitwise identical
             to the same rows of a single-chip call — sharding the FF
             build is then purely a performance decision.
+        estimator: "reference" reproduces the reference's ratio-of-
+            averages combiner bit-for-bit (avg_ci*avg_cj/avg_d^2,
+            form_factors.h:339-347) — measured ~30% biased LOW on
+            large adjacent patches (Jensen; dense-quadrature check in
+            benchmarks/radiosity_forensics.py). "unbiased" uses the
+            per-sample double-area estimator A_j/pi * mean_s[vis *
+            ci*cj/r^2] — same draws, same visibility, true form
+            factors.
     Returns:
         (ff, grid_counts, rad_grid) with leading dimension R; ff has
         trailing dimension C.
@@ -310,9 +320,15 @@ def mc_form_factors_rows(
 
             okf = ok.astype(jnp.float32)
             vis += okf
-            ci_sum += jnp.where(ok, ct_i, 0.0)
-            cj_sum += jnp.where(ok, ct_j, 0.0)
-            d_sum += jnp.where(ok, r, 0.0)
+            if estimator == "unbiased":
+                # d_sum reuses its slot as the per-sample accumulator
+                d_sum += jnp.where(
+                    ok, ct_i * ct_j / jnp.maximum(r * r, 1e-12), 0.0
+                )
+            else:
+                ci_sum += jnp.where(ok, ct_i, 0.0)
+                cj_sum += jnp.where(ok, ct_j, 0.0)
+                d_sum += jnp.where(ok, r, 0.0)
             nvalid += ok.astype(jnp.int32)
 
             # Direction-binned accumulation onto receiver i's grid
@@ -342,14 +358,23 @@ def mc_form_factors_rows(
             one_sample, init, jnp.arange(n_samples)
         )
 
-        nvf = jnp.maximum(nv, 1).astype(jnp.float32)
-        avg_ci = ci_s / nvf
-        avg_cj = cj_s / nvf
-        avg_d = d_s / nvf
-        vis_frac = vis / jnp.maximum(actual, 1).astype(jnp.float32)
-        ff = vis_frac * (
-            avg_ci * avg_cj * geom.area[cols][None, :]
-        ) / (PI * jnp.maximum(avg_d * avg_d, 1e-12))
+        if estimator == "unbiased":
+            # per-sample mean over the ATTEMPTED (adaptive) count:
+            # blocked/inactive samples contribute 0, so this is the
+            # true double-area MC estimate of A_j/pi E[vis ci cj / r^2]
+            ff = (
+                d_s / jnp.maximum(actual, 1).astype(jnp.float32)
+                * geom.area[cols][None, :] / PI
+            )
+        else:
+            nvf = jnp.maximum(nv, 1).astype(jnp.float32)
+            avg_ci = ci_s / nvf
+            avg_cj = cj_s / nvf
+            avg_d = d_s / nvf
+            vis_frac = vis / jnp.maximum(actual, 1).astype(jnp.float32)
+            ff = vis_frac * (
+                avg_ci * avg_cj * geom.area[cols][None, :]
+            ) / (PI * jnp.maximum(avg_d * avg_d, 1e-12))
         ff = jnp.where(nv > 0, jnp.clip(ff, 0.0, 1.0), 0.0)
         return ff, gcount, gradv
 
@@ -371,6 +396,7 @@ def mc_form_factors(
     n_samples: int = 64,
     row_chunk: int = 16,
     occlusion_packs=None,
+    estimator: str = "reference",
 ):
     """Full (N, N) Monte-Carlo form factors + guiding grids
     (calculate_form_factors_mc_kernel, form_factors.h:220-352).
@@ -409,7 +435,7 @@ def mc_form_factors(
     if npad <= rows_per_call:
         ff, gc, gv = mc_form_factors_rows(
             geom, key, row_ids, n_samples=n_samples, row_chunk=rc,
-            occlusion_packs=occlusion_packs,
+            occlusion_packs=occlusion_packs, estimator=estimator,
         )
         return ff[:n], gc[:n], gv[:n]
 
@@ -421,7 +447,7 @@ def mc_form_factors(
             mc_form_factors_rows(
                 geom, key, row_ids[start:start + rows_per_call],
                 n_samples=n_samples, row_chunk=rc,
-                occlusion_packs=occlusion_packs,
+                occlusion_packs=occlusion_packs, estimator=estimator,
             )
         )
     ff = jnp.concatenate([p[0] for p in parts])
@@ -528,6 +554,7 @@ def solve_radiosity(
     filter_fn=None,
     row_chunk: int = 16,
     occlusion_packs=None,
+    estimator: str = "reference",
 ) -> RadiositySolution:
     """Full solver (RadiosityState::runSolver, application_state.h:688-777).
 
@@ -541,7 +568,7 @@ def solve_radiosity(
     if use_monte_carlo:
         ff, grid_counts, rad_grid = mc_form_factors(
             geom, key, n_samples=mc_samples, row_chunk=row_chunk,
-            occlusion_packs=occlusion_packs,
+            occlusion_packs=occlusion_packs, estimator=estimator,
         )
     else:
         ff = analytic_form_factors(
@@ -598,10 +625,11 @@ def solve_radiosity(
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("n_samples", "row_chunk", "k"))
+@partial(jax.jit,
+         static_argnames=("n_samples", "row_chunk", "k", "estimator"))
 def _shoot_step(geom: Geometry, key, radiosity, unshot, rad_grid,
                 grid_counts, step_idx, *, k, n_samples, row_chunk,
-                occlusion_packs):
+                occlusion_packs, estimator="reference"):
     """One batched shooting step: pick the top-k unshot-power sources,
     estimate the (N, k) form-factor block with the standard MC
     estimator (same per-pair semantics as the gather solver), reflect
@@ -619,7 +647,7 @@ def _shoot_step(geom: Geometry, key, radiosity, unshot, rad_grid,
     ff_blk, gcount, gradv = mc_form_factors_rows(
         geom, skey, row_ids, n_samples=n_samples, row_chunk=rc,
         occlusion_packs=occlusion_packs,
-        col_ids=shooters, col_weight=shot,
+        col_ids=shooters, col_weight=shot, estimator=estimator,
     )
     ff_blk = ff_blk[:n]                                # (N, k)
 
@@ -694,6 +722,7 @@ def solve_radiosity_shooting(
     rel_tol: float = 1e-3,
     check_every: int = 8,
     ambient: bool = True,
+    estimator: str = "reference",
 ) -> RadiositySolution:
     """Matrix-free progressive-refinement shooting (Cohen-style).
 
@@ -751,6 +780,7 @@ def solve_radiosity_shooting(
             geom, key, radiosity, unshot, rad_grid, grid_counts,
             jnp.int32(step), k=k, n_samples=mc_samples,
             row_chunk=row_chunk, occlusion_packs=occlusion_packs,
+            estimator=estimator,
         )
         stats = stats + st
         if check_every and (step + 1) % check_every == 0:
