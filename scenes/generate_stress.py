@@ -91,13 +91,29 @@ AttributeEnd
 """
 
 
+def generate(out_dir, tag="100k", n=226):
+    """Write sphere{tag}.ply + stress{tag}.pbrt into out_dir. n=226
+    gives ~101k triangles (the committed config-#4 scene); n=709 gives
+    ~1.004M (generated on demand by benchmarks/stress1m.py — the 19 MB
+    PLY is not committed)."""
+    verts, faces = displaced_sphere(n_theta=n, n_phi=n)
+    ply = f"sphere{tag}.ply"
+    write_ply_binary(os.path.join(out_dir, ply), verts, faces)
+    pbrt = os.path.join(out_dir, f"stress{tag}.pbrt")
+    with open(pbrt, "w") as f:
+        f.write(
+            PBRT_TEMPLATE.format(ntris=len(faces)).replace(
+                "sphere100k.ply", ply
+            )
+        )
+    print(f"wrote {ply} ({len(faces)} tris) + stress{tag}.pbrt")
+    return pbrt
+
+
 def main():
     here = os.path.dirname(os.path.abspath(__file__))
-    verts, faces = displaced_sphere()
-    write_ply_binary(os.path.join(here, "sphere100k.ply"), verts, faces)
-    with open(os.path.join(here, "stress100k.pbrt"), "w") as f:
-        f.write(PBRT_TEMPLATE.format(ntris=len(faces)))
-    print(f"wrote sphere100k.ply ({len(faces)} tris) + stress100k.pbrt")
+    tag = sys.argv[1] if len(sys.argv) > 1 else "100k"
+    generate(here, tag=tag, n=226 if tag == "100k" else 709)
 
 
 if __name__ == "__main__":
