@@ -22,7 +22,8 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--scene", default="cbox", choices=["cbox", "stress"])
+    p.add_argument("--scene", default="cbox",
+                   choices=["cbox", "stress", "sub6"])
     p.add_argument("--mis", action="store_true")
     p.add_argument("--balance", type=int, default=0,
                    help="K pixels per lane, cost-balanced (stress only)")
@@ -56,6 +57,18 @@ def main():
                   attr_pack=pack_attributes(geom))
         settings_kw = dict(width=512, height=512, max_depth=5,
                            spp_per_pass=4, ray_chunk=1 << 16)
+    elif args.scene == "sub6":
+        # the guided-at-scale configuration (benchmarks/guided_sub6.py):
+        # 65,536 prims / 131,072 tris, grouped culled backend
+        from tpu_pathtracer.ops.intersect_pallas import CulledScene
+        from tpu_pathtracer.scene.builtin import cornell_box
+        from tpu_pathtracer.scene.mesh import subdivide
+
+        geom = subdivide(cornell_box("quads"), 6).build()
+        cam = CameraController.default().build()
+        kw = dict(culled=CulledScene(geom))
+        settings_kw = dict(width=256, height=256, max_depth=5,
+                           spp_per_pass=4, ray_chunk=1 << 16)
     else:
         from tpu_pathtracer.ops.intersect_pallas import CulledScene
         from tpu_pathtracer.scene.pbrt_loader import parse_pbrt
@@ -80,11 +93,34 @@ def main():
         from tpu_pathtracer.core.constants import SAMPLING_MIS
         from tpu_pathtracer.core.math_utils import luminance
         from tpu_pathtracer.ops.guiding import build_cdfs
-        from tpu_pathtracer.render.radiosity import solve_radiosity
 
-        sol = solve_radiosity(geom, jax.random.key(12345),
-                              num_iterations=10, mc_samples=64)
-        cdfs = build_cdfs(luminance(sol.rad_grid))
+        if args.scene == "sub6":
+            # matrix-free scale: shooting solve, grid luminance cached
+            # on disk so repeat traces skip the ~3 min solve
+            import jax.numpy as jnp
+
+            from tpu_pathtracer.render.radiosity import (
+                solve_radiosity_shooting,
+            )
+
+            cache = "/tmp/tpt_sub6_gridlum.npy"
+            if os.path.exists(cache):
+                lum = jnp.asarray(np.load(cache))
+            else:
+                sol = solve_radiosity_shooting(
+                    geom, jax.random.key(12345), steps=128,
+                    shooters_per_step=128, mc_samples=4,
+                    occlusion_packs=kw["culled"],
+                )
+                lum = luminance(sol.rad_grid)
+                np.save(cache, np.asarray(lum))
+            cdfs = build_cdfs(lum)
+        else:
+            from tpu_pathtracer.render.radiosity import solve_radiosity
+
+            sol = solve_radiosity(geom, jax.random.key(12345),
+                                  num_iterations=10, mc_samples=64)
+            cdfs = build_cdfs(luminance(sol.rad_grid))
         settings_kw["sampling_mode"] = SAMPLING_MIS
     if args.spp:
         settings_kw["spp_per_pass"] = args.spp

@@ -927,8 +927,10 @@ def pallas_occluded(tri_pack, prim_pack, o, d, max_dist,
 # front-to-back, fully deterministic cluster schedule — multi-operand
 # lexicographic lax.sort measured 25 ms/bounce on the 101k-tri scene,
 # single-key sort is ~10x cheaper. The id field caps scenes at
-# _MAX_CLUSTERS clusters (524k triangles).
-_ID_BITS = 12
+# _MAX_CLUSTERS clusters (1.05M triangles at 13 id bits; the row
+# kernel's layout then carries 13 id + 8 row + 9 bucket + inactive
+# bit 30 — widening id past 13 would start eating row bits).
+_ID_BITS = 13
 _BITS_SHIFT = _ID_BITS
 _BUCKET_SHIFT = _ID_BITS + DMA_ROWS
 _BUCKETS = 1 << (30 - _BUCKET_SHIFT)
@@ -1305,9 +1307,11 @@ def _cluster_list(cluster_min, cluster_max, o, d, t_min):
 
 _EARLY_BLOCK = 8   # clusters between early-out refreshes (amortizes the
                    # cross-lane row-max reductions to ~2 ops / 8 clusters)
-_SORT_BINS = 256   # counting-sort distance bins (top 8 of the 10 bucket
-                   # bits); the early-out bound uses the BIN lower edge,
-                   # which every later schedule entry is >= of
+_SORT_BINS = 256   # counting-sort distance bins (the bucket bits above
+                   # _BIN_SUB_BITS; only active keys — bit 30 clear —
+                   # enter the histogram); the early-out bound uses the
+                   # BIN lower edge, which every later schedule entry
+                   # is >= of
 _BIN_SUB_BITS = 2  # bucket bits below the bin granularity
 
 
