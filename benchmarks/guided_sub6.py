@@ -90,10 +90,22 @@ def main():
                                 **({"cdfs": cdfs,
                                     "mis_bsdf_fraction": 0.5}
                                    if mode_kwargs else {}))
+        # warmup pass: exclude program compile from the wall clock (the
+        # BSDF and MIS programs compile separately; an included compile
+        # once inflated the MIS wall 3.5x). The warmup's spp stay in the
+        # film, so both modes accumulate the same total.
+        r.step()
+        r.reset_stats()
+        n_passes = max(0, (spp - s.spp_per_pass) // s.spp_per_pass)
         t0 = time.time()
-        r.render(spp)
+        for _ in range(n_passes):
+            r.step(block=False)
+        r.sync()
         wall = time.time() - t0
-        return np.asarray(r.film.mean_radiance()), wall, r.mrays_per_sec
+        # rate from the measured wall (render_seconds only counts
+        # dispatch time for pipelined steps)
+        rate = r.total_rays / 1e6 / max(wall, 1e-9)
+        return np.asarray(r.film.mean_radiance()), wall, rate
 
     gt, gt_wall, _ = render({}, args.gt_spp, seed=999)
     print(f"ground truth {args.gt_spp} spp: {gt_wall:.1f} s")
