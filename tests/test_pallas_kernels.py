@@ -413,6 +413,45 @@ class TestGroupedDMA:
         )
 
 
+class TestScheduleKeyPacking:
+    def test_fields_fit_int32(self):
+        """The packed schedule key must carry every field below the
+        inactive bit without overflow at the maxima: 13 id bits (1.05M
+        triangles), 8 row-mask bits, bucket bits up to bit 29. A field
+        widening that silently eats a neighbor would corrupt schedules
+        only on huge scenes — guard the arithmetic here."""
+        id_max = ip._MAX_CLUSTERS - 1
+        row_max = (1 << ip.DMA_ROWS) - 1
+        bucket_max = ip._BUCKETS - 1
+        key = (
+            (bucket_max << ip._BUCKET_SHIFT)
+            | (row_max << ip._BITS_SHIFT)
+            | id_max
+        )
+        assert key < (1 << 30)          # inactive bit 30 stays free
+        # fields round-trip
+        assert key & (ip._MAX_CLUSTERS - 1) == id_max
+        assert (key >> ip._BITS_SHIFT) & ((1 << ip.DMA_ROWS) - 1) \
+            == row_max
+        assert (key >> ip._BUCKET_SHIFT) & (ip._BUCKETS - 1) \
+            == bucket_max
+        # the counting-sort bin index never sees the inactive bit
+        bin_shift = ip._BUCKET_SHIFT + ip._BIN_SUB_BITS
+        assert (key >> bin_shift) & (ip._SORT_BINS - 1) \
+            == bucket_max >> ip._BIN_SUB_BITS
+        # 1M-triangle scenes fit (the stress1m benchmark's class)
+        assert ip._MAX_CLUSTERS * ip.TRI_CHUNK >= 1_000_000
+
+    def test_prepass_rejects_oversize(self):
+        import pytest
+
+        cmin = jnp.zeros((ip._MAX_CLUSTERS + 1, 3), jnp.float32)
+        cmax = jnp.ones((ip._MAX_CLUSTERS + 1, 3), jnp.float32)
+        comps = [jnp.zeros((8, 128), jnp.float32) for _ in range(6)]
+        with pytest.raises(ValueError, match="packed-key cap"):
+            ip._prepass_groups(cmin, cmax, comps, 1e-4, 1024)
+
+
 class TestGroupedPrepass:
     def test_log2_onehot_all_bits(self):
         """Branch-free single-bit log2 must be exact for every bit,
