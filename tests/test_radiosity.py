@@ -311,6 +311,35 @@ class TestShooting:
             np.asarray(early_amb.unshot), np.asarray(early_raw.unshot)
         )
 
+    def test_transport_stats_conserve_energy(self):
+        """The measured per-channel transport stats that calibrate the
+        ambient term must satisfy conservation: delivered <= shot (the
+        open front loses energy) and reflected <= delivered (albedo
+        < 1 plus the per-channel energy clamp)."""
+        import jax
+
+        from tpu_pathtracer.render.radiosity import (
+            _shoot_step,
+        )
+        from tpu_pathtracer.scene.builtin import cornell_box
+        from tpu_pathtracer.scene.mesh import subdivide
+        from tpu_pathtracer.core.constants import GRID_SIZE
+
+        geom = subdivide(cornell_box("quads"), 1).build()
+        n = geom.num_prims
+        z = jnp.zeros((n, GRID_SIZE, 3), jnp.float32)
+        zc = jnp.zeros((n, GRID_SIZE), jnp.float32)
+        _, _, _, _, st = _shoot_step(
+            geom, jax.random.key(0), geom.emission, geom.emission,
+            z, zc, jnp.int32(0), k=8, n_samples=64, row_chunk=8,
+            occlusion_packs=None,
+        )
+        shot, delivered, reflected = np.asarray(st)
+        assert (shot > 0).all()
+        assert (delivered <= shot + 1e-4).all()
+        assert (reflected <= delivered + 1e-5).all()
+        assert (delivered > 0).all()   # the light faces the scene
+
     def test_grids_match_gather_rebin(self):
         """Converged shooting grids carry sum_j B_j x geometry — the
         gather solver's rebin quantity — accumulated incrementally at

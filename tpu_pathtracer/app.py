@@ -239,6 +239,16 @@ class App:
             if solver == "shooting":
                 from .render.radiosity import solve_radiosity_shooting
 
+                if filter_fn is not None:
+                    # in-loop filtering is a gather-solver feature (the
+                    # reference filters between refinement iterations);
+                    # shooting grids accumulate incrementally, so filter
+                    # at CDF time instead (cdf_source="filtered_*")
+                    log.warning(
+                        "enable_grid_filtering is ignored by the "
+                        "shooting solver; use cdf_source='filtered_"
+                        "radiosity' to filter before CDF build"
+                    )
                 self.solution = solve_radiosity_shooting(
                     self.geom,
                     rng.base_key(cfg.seed + 12345),
