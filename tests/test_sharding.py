@@ -122,6 +122,31 @@ class TestShardedFormFactors:
         np.testing.assert_array_equal(np.asarray(gv_s),
                                       np.asarray(gv_u))
         np.testing.assert_allclose(np.diag(np.asarray(ff_s)), 0.0)
+        # row_chunk > n/devices: the effective chunk must still match
+        # the single-chip build (devices past the real rows idle)
+        ff_s2, _, _ = mc_form_factors_sharded(
+            geom, key, n_samples=8, row_chunk=16
+        )
+        ff_u2, _, _ = mc_form_factors(geom, key, n_samples=8,
+                                      row_chunk=16)
+        np.testing.assert_array_equal(np.asarray(ff_s2),
+                                      np.asarray(ff_u2))
+
+    def test_launch_split_invariant(self):
+        """The watchdog launch splitting must not change the matrix:
+        every launch group keys its RNG by global chunk offset."""
+        geom = cornell_box("quads").build()
+        key = rng.base_key(9)
+        one, gc1, gv1 = mc_form_factors(
+            geom, key, n_samples=16, row_chunk=2
+        )
+        split, gc2, gv2 = mc_form_factors(
+            geom, key, n_samples=16, row_chunk=2, _rows_per_call=4
+        )
+        np.testing.assert_array_equal(np.asarray(one),
+                                      np.asarray(split))
+        np.testing.assert_array_equal(np.asarray(gv1),
+                                      np.asarray(gv2))
 
 
 class TestShardedShooting:
@@ -143,13 +168,16 @@ class TestShardedShooting:
 
         geom = subdivide(cornell_box("quads"), 1).build()  # 64 prims
         key = jax.random.key(11)
+        # row_chunk=16 > n/devices=8: the sharded solver must still use
+        # the single-chip effective chunk (regression: it once clamped
+        # to n//n_dev, silently diverging for larger row_chunks)
         single = solve_radiosity_shooting(
             geom, key, steps=12, shooters_per_step=16,
-            mc_samples=16, row_chunk=8, check_every=4,
+            mc_samples=16, row_chunk=16, check_every=4,
         )
         sharded = solve_radiosity_shooting_sharded(
             geom, key, mesh=make_mesh(8), steps=12,
-            shooters_per_step=16, mc_samples=16, row_chunk=8,
+            shooters_per_step=16, mc_samples=16, row_chunk=16,
             check_every=4,
         )
         np.testing.assert_array_equal(

@@ -249,6 +249,16 @@ class App:
                         "shooting solver; use cdf_source='filtered_"
                         "radiosity' to filter before CDF build"
                     )
+                if not cfg.use_monte_carlo:
+                    log.warning(
+                        "use_monte_carlo=False (analytic FF) is a "
+                        "gather-solver feature; the shooting solver is "
+                        "MC-only — set radiosity_solver='gather' to "
+                        "force it (needs the (N, N) matrix to fit)"
+                    )
+                # gather's radiosity_iterations / mc_samples do not
+                # apply; shooting uses shooting_steps / shooters_per_
+                # step / shooting_mc_samples
                 self.solution = solve_radiosity_shooting(
                     self.geom,
                     rng.base_key(cfg.seed + 12345),
@@ -415,6 +425,7 @@ class App:
                         spp_per_pass=max(cfg.spp, 1),
                         ray_chunk=cfg.ray_chunk,
                     ),
+                    culled=self.culled,
                 )
                 jax.block_until_ready(img)
             return np.asarray(img)[::-1]
@@ -455,6 +466,7 @@ class App:
                 ray_chunk=cfg.ray_chunk,
             ),
             include_emission=False,
+            culled=self.culled,
         )
         return np.asarray(img)[::-1]
 

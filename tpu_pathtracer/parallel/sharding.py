@@ -213,7 +213,11 @@ def mc_form_factors_sharded(
         mesh = make_mesh()
     n_dev = int(mesh.devices.size)
     n = geom.num_prims
-    rc = min(row_chunk, max(1, n // n_dev))
+    # Same effective chunk as the single-chip build (rc = min(row_chunk,
+    # n)) so the RNG chunk partitioning — and therefore the matrix — is
+    # bitwise identical for ANY row_chunk; bands round up to a multiple
+    # of rc (devices past the real rows compute discarded padding).
+    rc = min(row_chunk, n)
     band = ((n + n_dev - 1) // n_dev + rc - 1) // rc * rc
     npad = band * n_dev
     row_ids = jnp.where(jnp.arange(npad) < n, jnp.arange(npad), 0)
@@ -388,17 +392,14 @@ def solve_radiosity_shooting_sharded(
     radiosity architecture (the N^2 matrix, application_state.h:705-715,
     and the single-GPU pass) out by the mesh size.
 
-    RNG streams are keyed by global chunk index, so with matching
-    row_chunk the result is BITWISE identical to the single-chip
-    shooting solve (tests/test_sharding.py asserts it).
+    RNG streams are keyed by global chunk index and the effective row
+    chunk matches the single-chip solver's, so the result is BITWISE
+    identical to the single-chip shooting solve for any row_chunk
+    (tests/test_sharding.py asserts it).
     """
     from ..core import rng as rng_mod
     from ..core.math_utils import luminance
-    from ..render.radiosity import (
-        RADIOSITY_HISTORY,
-        RadiositySolution,
-        mc_form_factors_rows,
-    )
+    from ..render.radiosity import mc_form_factors_rows
 
     if key is None:
         key = rng_mod.base_key(12345)
@@ -409,7 +410,9 @@ def solve_radiosity_shooting_sharded(
     k = min(shooters_per_step, n)
     if row_chunk is None:
         row_chunk = max(16, 32768 // k)
-    rc = min(row_chunk, max(1, n // n_dev))
+    # match the single-chip solver's effective chunk (see
+    # mc_form_factors_sharded): bitwise parity holds for ANY row_chunk
+    rc = min(row_chunk, n)
     band = ((n + n_dev - 1) // n_dev + rc - 1) // rc * rc
     npad = band * n_dev
     sh_rows = NamedSharding(mesh, P("tile"))
@@ -456,15 +459,12 @@ def solve_radiosity_shooting_sharded(
         )[:n]
         new_rad = radiosity + refl_full
         new_unshot = unshot.at[shooters].set(0.0) + refl_full
-        # measured transport stats for the ambient completion — same
-        # formula on the same gathered values as the single-chip step,
-        # so the correction stays bitwise-equal across layouts
-        a = geom.area[:, None]
-        st = jnp.stack([
-            jnp.sum(shot * geom.area[shooters][:, None], axis=0),
-            jnp.sum(inc_full * a, axis=0),
-            jnp.sum(refl_full * a, axis=0),
-        ])
+        # same stats formula on the same gathered values as the single-
+        # chip step — the ambient term stays bitwise-equal across
+        # layouts (radiosity.transport_stats is the single source)
+        from ..render.radiosity import transport_stats
+
+        st = transport_stats(geom, shooters, shot, inc_full, refl_full)
         return (new_rad, new_unshot, grid_band + gradv,
                 count_band + gcount, st)
 
@@ -480,38 +480,20 @@ def solve_radiosity_shooting_sharded(
         )
     )
 
-    radiosity = geom.emission
-    unshot = geom.emission
-    p0 = float(jnp.sum(luminance(geom.emission) * geom.area))
-    history = jnp.zeros((RADIOSITY_HISTORY, n, 3), jnp.float32)
-    h_idx = 0
-    h_cnt = 0
-    stats = jnp.zeros((3, 3), jnp.float32)
-    for s in range(steps):
-        history = history.at[h_idx].set(radiosity)
-        h_idx = (h_idx + 1) % RADIOSITY_HISTORY
-        h_cnt = min(h_cnt + 1, RADIOSITY_HISTORY)
-        radiosity, unshot, rad_grid, grid_counts, st = step(
-            row_ids, radiosity, unshot, rad_grid, grid_counts,
-            jax.random.fold_in(key, s),
-        )
-        stats = stats + st
-        if check_every and (s + 1) % check_every == 0:
-            rem = float(jnp.sum(luminance(unshot) * geom.area))
-            if rem < rel_tol * p0:
-                break
+    def step_fn(radiosity, unshot, rad_grid_s, grid_counts_s, s):
+        return step(row_ids, radiosity, unshot, rad_grid_s,
+                    grid_counts_s, jax.random.fold_in(key, s))
 
-    if ambient:
-        from ..render.radiosity import ambient_correction
+    from ..render.radiosity import drive_shooting
 
-        radiosity = radiosity + ambient_correction(geom, unshot, stats)
-    return RadiositySolution(
-        form_factors=jnp.zeros((0, 0), jnp.float32),   # matrix-free
-        radiosity=radiosity,
-        unshot=unshot,
-        grid_counts=grid_counts[:n],
-        rad_grid=rad_grid[:n],
-        history=history,
-        history_index=jnp.int32(h_idx),
-        history_count=jnp.int32(h_cnt),
+    sol = drive_shooting(
+        geom, step_fn, rad_grid, grid_counts, steps=steps,
+        rel_tol=rel_tol, check_every=check_every, ambient=ambient,
+    )
+    import dataclasses
+
+    return dataclasses.replace(
+        sol,
+        grid_counts=sol.grid_counts[:n],
+        rad_grid=sol.rad_grid[:n],
     )

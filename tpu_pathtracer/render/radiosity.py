@@ -397,9 +397,16 @@ def mc_form_factors(
     row_chunk: int = 16,
     occlusion_packs=None,
     estimator: str = "reference",
+    _rows_per_call: int | None = None,
 ):
     """Full (N, N) Monte-Carlo form factors + guiding grids
     (calculate_form_factors_mc_kernel, form_factors.h:220-352).
+
+    The result is independent of the watchdog launch-splitting: every
+    launch group passes its global starting chunk as the RNG
+    chunk_offset, so one launch or many produce bitwise-identical
+    matrices (`_rows_per_call` forces a split for the test that pins
+    this).
 
     Returns:
         (ff, grid_counts, rad_grid):
@@ -431,7 +438,8 @@ def mc_form_factors(
         eff_tris = min(eff_tris, max(1024, eff_tris // 8))
     per_chunk = rc * n * max(n_samples, 1) * eff_tris
     chunks_per_call = max(1, int(test_budget / per_chunk))
-    rows_per_call = chunks_per_call * rc
+    rows_per_call = _rows_per_call or (chunks_per_call * rc)
+    rows_per_call = ((rows_per_call + rc - 1) // rc) * rc
     if npad <= rows_per_call:
         ff, gc, gv = mc_form_factors_rows(
             geom, key, row_ids, n_samples=n_samples, row_chunk=rc,
@@ -448,6 +456,7 @@ def mc_form_factors(
                 geom, key, row_ids[start:start + rows_per_call],
                 n_samples=n_samples, row_chunk=rc,
                 occlusion_packs=occlusion_packs, estimator=estimator,
+                chunk_offset=start // rc,
             )
         )
     ff = jnp.concatenate([p[0] for p in parts])
@@ -663,17 +672,24 @@ def _shoot_step(geom: Geometry, key, radiosity, unshot, rad_grid,
     unshot = unshot.at[shooters].set(0.0) + reflected
     rad_grid = rad_grid + gradv[:n]
     grid_counts = grid_counts + gcount[:n]
-    # measured transport statistics, per channel: how much of the shot
-    # power arrived anywhere (open scenes lose the rest through the
-    # opening) and how much of THAT was re-banked — these calibrate the
-    # ambient completion of the residual tail (ambient_correction)
+    stats = transport_stats(geom, shooters, shot, incident, reflected)
+    return radiosity, unshot, rad_grid, grid_counts, stats
+
+
+def transport_stats(geom: Geometry, shooters, shot, incident, reflected):
+    """Measured per-channel transport statistics of one shooting step:
+    (shot, delivered, reflected) power sums — how much of the shot
+    power arrived anywhere (open scenes lose the rest through the
+    opening) and how much of THAT was re-banked. These calibrate the
+    ambient completion of the residual tail (ambient_correction). The
+    sharded solver calls this on its all-gathered full vectors so the
+    stats — and the ambient term — stay bitwise-equal across layouts."""
     a = geom.area[:, None]
-    stats = jnp.stack([
+    return jnp.stack([
         jnp.sum(shot * geom.area[shooters][:, None], axis=0),
         jnp.sum(incident * a, axis=0),
         jnp.sum(reflected * a, axis=0),
     ])                                                 # (3 stats, 3 ch)
-    return radiosity, unshot, rad_grid, grid_counts, stats
 
 
 def ambient_correction(geom: Geometry, unshot, stats=None) -> jax.Array:
@@ -762,11 +778,49 @@ def solve_radiosity_shooting(
         # that the (rc, k, 256) grid one-hot stays well under the
         # 100 MB intermediate band
         row_chunk = max(16, 32768 // k)
-    radiosity = geom.emission
-    unshot = geom.emission
     rad_grid = jnp.zeros((n, GRID_SIZE, 3), jnp.float32)
     grid_counts = jnp.zeros((n, GRID_SIZE), jnp.float32)
-    p0 = float(jnp.sum(luminance(geom.emission) * geom.area))
+
+    def step_fn(radiosity, unshot, rad_grid, grid_counts, step):
+        return _shoot_step(
+            geom, key, radiosity, unshot, rad_grid, grid_counts,
+            jnp.int32(step), k=k, n_samples=mc_samples,
+            row_chunk=row_chunk, occlusion_packs=occlusion_packs,
+            estimator=estimator,
+        )
+
+    return drive_shooting(
+        geom, step_fn, rad_grid, grid_counts, steps=steps,
+        rel_tol=rel_tol, check_every=check_every, ambient=ambient,
+    )
+
+
+def drive_shooting(
+    geom: Geometry,
+    step_fn,
+    rad_grid,
+    grid_counts,
+    *,
+    steps: int,
+    rel_tol: float,
+    check_every: int,
+    ambient: bool,
+) -> RadiositySolution:
+    """Shared host driver for the shooting solvers (single-chip and
+    sharded): history ring, transport-stat accumulation, early exit,
+    ambient completion. `step_fn(radiosity, unshot, rad_grid,
+    grid_counts, step) -> (radiosity, unshot, rad_grid, grid_counts,
+    stats)` supplies the per-step transport; grids may be sharded
+    (row-padded — callers crop)."""
+    n = geom.num_prims
+    radiosity = geom.emission
+    unshot = geom.emission
+    # the host fetch permanently switches the axon tunnel to sync mode
+    # (CLAUDE.md) — only pay it when the early-exit check will run
+    p0 = (
+        float(jnp.sum(luminance(geom.emission) * geom.area))
+        if check_every else 0.0
+    )
 
     history = jnp.zeros((RADIOSITY_HISTORY, n, 3), jnp.float32)
     h_idx = 0
@@ -776,11 +830,8 @@ def solve_radiosity_shooting(
         history = history.at[h_idx].set(radiosity)
         h_idx = (h_idx + 1) % RADIOSITY_HISTORY
         h_cnt = min(h_cnt + 1, RADIOSITY_HISTORY)
-        radiosity, unshot, rad_grid, grid_counts, st = _shoot_step(
-            geom, key, radiosity, unshot, rad_grid, grid_counts,
-            jnp.int32(step), k=k, n_samples=mc_samples,
-            row_chunk=row_chunk, occlusion_packs=occlusion_packs,
-            estimator=estimator,
+        radiosity, unshot, rad_grid, grid_counts, st = step_fn(
+            radiosity, unshot, rad_grid, grid_counts, step
         )
         stats = stats + st
         if check_every and (step + 1) % check_every == 0:
