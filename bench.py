@@ -152,6 +152,39 @@ def main():
     except Exception as e:  # noqa: BLE001
         extra["radiosity_sub5_solve_s"] = f"error: {e}"
 
+    # --- matrix-free shooting at sub-6 scale (65,536 prims) ---
+    # A bounded slice of benchmarks/radiosity_sub6.py: 16 top-128 steps
+    # through the grouped culled any-hit (the full 192-step solve is
+    # 265 s; per-step cost is the metric — the gather matrix would be
+    # 17 GB and cannot exist).
+    try:
+        import jax
+
+        from tpu_pathtracer.render.radiosity import (
+            solve_radiosity_shooting,
+        )
+        from tpu_pathtracer.scene.mesh import subdivide
+
+        geom_6 = subdivide(cornell_box("quads"), 6).build()
+        cs6 = CulledScene(geom_6)
+        sol6 = solve_radiosity_shooting(   # warmup/compile: one step
+            geom_6, jax.random.key(1), steps=1, shooters_per_step=128,
+            mc_samples=4, occlusion_packs=cs6, check_every=0,
+        )
+        jax.block_until_ready(sol6.radiosity)
+        t0 = time.time()
+        sol6 = solve_radiosity_shooting(
+            geom_6, jax.random.key(12345), steps=16,
+            shooters_per_step=128, mc_samples=4, occlusion_packs=cs6,
+            check_every=0,
+        )
+        jax.block_until_ready(sol6.radiosity)
+        extra["shooting_sub6_s_per_step"] = round(
+            (time.time() - t0) / 16, 2
+        )
+    except Exception as e:  # noqa: BLE001
+        extra["shooting_sub6_s_per_step"] = f"error: {e}"
+
     # --- config #4: 101k-tri pbrt stress scene, culled DMA backend ---
     try:
         import numpy as np
