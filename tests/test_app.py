@@ -44,6 +44,17 @@ class TestLifecycle:
         assert img.shape == (32, 32, 3)
         assert img.max() > 0
 
+    def test_auto_solver_picks_gather_when_matrix_fits(self):
+        """radiosity_solver='auto' must use the gather solver (full
+        matrix, reference semantics) below the 16,384-prim memory
+        threshold."""
+        app = App(small_cfg(sampling_mode="mis", mc_samples=8,
+                            radiosity_iterations=3,
+                            radiosity_solver="auto"))
+        app.prepare()
+        n = app.geom.num_prims
+        assert app.solution.form_factors.shape == (n, n)
+
     def test_shooting_solver_config(self):
         """radiosity_solver='shooting' routes run_solver through the
         matrix-free path and the guided pipeline consumes its grids."""
