@@ -91,7 +91,8 @@ def main():
         "ambient_completion_frac": amb / max(total, 1e-9),
         "radiosity_mean": float(np.asarray(sol.radiosity).mean()),
     }
-    with open(os.path.join(HERE, "radiosity_sub6_result.json"), "w") as f:
+    with open(os.path.join(HERE, f"radiosity_sub{args.sub}_result"
+                                 ".json"), "w") as f:
         json.dump(result, f, indent=1)
     print(json.dumps(result))
 
