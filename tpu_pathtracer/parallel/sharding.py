@@ -378,6 +378,7 @@ def solve_radiosity_shooting_sharded(
     check_every: int = 8,
     ambient: bool = True,
     estimator: str = "reference",
+    sort_shooters: bool = False,
 ):
     """Matrix-free progressive shooting with receiver rows sharded.
 
@@ -435,6 +436,11 @@ def solve_radiosity_shooting_sharded(
         tile = jax.lax.axis_index("tile")
         power = luminance(unshot) * geom.area          # replicated
         _, shooters = jax.lax.top_k(power, k)
+        if sort_shooters:
+            # id-sort the replicated shooter batch (spatial order —
+            # see _shoot_step); same transform on every device, so
+            # single-chip bitwise parity is preserved.
+            shooters = jnp.sort(shooters)
         shot = unshot[shooters]                        # (k, 3)
         ff_blk, gcount, gradv = mc_form_factors_rows(
             geom, step_key, rows_band,

@@ -635,10 +635,12 @@ def solve_radiosity(
 
 
 @partial(jax.jit,
-         static_argnames=("n_samples", "row_chunk", "k", "estimator"))
+         static_argnames=("n_samples", "row_chunk", "k", "estimator",
+                          "sort_shooters"))
 def _shoot_step(geom: Geometry, key, radiosity, unshot, rad_grid,
                 grid_counts, step_idx, *, k, n_samples, row_chunk,
-                occlusion_packs, estimator="reference"):
+                occlusion_packs, estimator="reference",
+                sort_shooters=False):
     """One batched shooting step: pick the top-k unshot-power sources,
     estimate the (N, k) form-factor block with the standard MC
     estimator (same per-pair semantics as the gather solver), reflect
@@ -647,6 +649,17 @@ def _shoot_step(geom: Geometry, key, radiosity, unshot, rad_grid,
     n = geom.num_prims
     power = luminance(unshot) * geom.area
     _, shooters = jax.lax.top_k(power, k)              # (k,)
+    if sort_shooters:
+        # top_k returns shooters in descending-power order — spatially
+        # scattered. The flattened visibility batch is (receiver,
+        # shooter)-major, so each 8-segment culled-kernel group shares
+        # one receiver and spans 8 CONSECUTIVE shooter-list entries;
+        # sorting by prim id (= subdivision order = spatially adjacent
+        # patches) tightens every group's direction frustum and cuts
+        # the any-hit walk's (group, cluster) pair count. Pure batch
+        # scheduling: the solve stays bitwise deterministic (the sort
+        # is deterministic), only the MC draw<->pair pairing changes.
+        shooters = jnp.sort(shooters)
 
     rc = min(row_chunk, n)
     npad = ((n + rc - 1) // rc) * rc
@@ -739,6 +752,7 @@ def solve_radiosity_shooting(
     check_every: int = 8,
     ambient: bool = True,
     estimator: str = "reference",
+    sort_shooters: bool = False,
 ) -> RadiositySolution:
     """Matrix-free progressive-refinement shooting (Cohen-style).
 
@@ -786,7 +800,7 @@ def solve_radiosity_shooting(
             geom, key, radiosity, unshot, rad_grid, grid_counts,
             jnp.int32(step), k=k, n_samples=mc_samples,
             row_chunk=row_chunk, occlusion_packs=occlusion_packs,
-            estimator=estimator,
+            estimator=estimator, sort_shooters=sort_shooters,
         )
 
     return drive_shooting(
