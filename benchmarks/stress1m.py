@@ -9,7 +9,14 @@ VMEM-bounded by triangle count. Reports host build times (clustering,
 packs), first-pass compile-excluded render rate, and writes a frame.
 
 The 19 MB PLY is generated on demand into /tmp (not committed).
-Usage: python benchmarks/stress1m.py [--spp 8] [--res 256]
+With --tag 2m (--n 1025, ~2.1M triangles) the scene exceeds the
+13-bit cluster-id cap of one pack (1.05M tris) and exercises the
+PARTITIONED CulledScene: two packs min-combined per bounce. The
+reference refuses >2M-triangle PBRT scenes entirely and draws a
+bounding-box proxy (pbrt_loader.h:205-272); here the same class of
+scene renders for real, at linear cost in parts.
+
+Usage: python benchmarks/stress1m.py [--spp 8] [--res 256] [--tag 2m]
 """
 
 import argparse
@@ -29,18 +36,23 @@ def main():
     ap.add_argument("--spp", type=int, default=8)
     ap.add_argument("--res", type=int, default=256)
     ap.add_argument("--depth", type=int, default=4)
+    ap.add_argument("--tag", default="1m")
+    ap.add_argument("--n", type=int, default=0,
+                    help="sphere tessellation (default: 709 for 1m, "
+                         "1025 for 2m)")
     args = ap.parse_args()
+    n_tess = args.n or {"1m": 709, "2m": 1025}.get(args.tag, 709)
 
     sys.path.insert(0, os.path.join(HERE, "..", "scenes"))
     from generate_stress import generate
 
     import numpy as np
 
-    work = "/tmp/tpt_stress1m"
+    work = f"/tmp/tpt_stress{args.tag}"
     os.makedirs(work, exist_ok=True)
-    pbrt = os.path.join(work, "stress1m.pbrt")
+    pbrt = os.path.join(work, f"stress{args.tag}.pbrt")
     if not os.path.exists(pbrt):
-        pbrt = generate(work, tag="1m", n=709)
+        pbrt = generate(work, tag=args.tag, n=n_tess)
 
     from tpu_pathtracer.ops.intersect_pallas import CulledScene
     from tpu_pathtracer.render.camera import CameraController
@@ -52,7 +64,9 @@ def main():
     from tpu_pathtracer.utils.png import write_png_bottom_up
 
     t0 = time.time()
-    scene = parse_pbrt(pbrt)
+    # Lift the reference-parity 2M proxy guard (pbrt_loader.h:205):
+    # the partitioned CulledScene is built to render past it for real.
+    scene = parse_pbrt(pbrt, max_triangles=1 << 31)
     geom = scene.prims.build()
     parse_s = time.time() - t0
     print(f"parsed {geom.num_tris} tris in {parse_s:.1f} s")
@@ -60,9 +74,9 @@ def main():
     t0 = time.time()
     cs = CulledScene(geom)
     build_s = time.time() - t0
-    n_clusters = int(cs.cluster_min.shape[0])
+    n_clusters = sum(int(p[1].shape[0]) for p in cs.parts)
     print(f"CulledScene (median-split clusters + packs): {build_s:.1f} s,"
-          f" {n_clusters} clusters")
+          f" {n_clusters} clusters in {len(cs.parts)} part(s)")
 
     eye, tgt, up = scene.camera_lookat
     cam = CameraController(
@@ -93,20 +107,22 @@ def main():
           f"{rate:.2f} Mrays/s")
 
     img = r.film.to_srgb()
-    out = os.path.join(HERE, "..", "outputs", "stress1m.png")
+    out = os.path.join(HERE, "..", "outputs", f"stress{args.tag}.png")
     write_png_bottom_up(out, np.asarray(img))
     print(f"wrote {out}")
 
     result = {
         "tris": int(geom.num_tris),
         "clusters": n_clusters,
+        "parts": len(cs.parts),
         "parse_s": round(parse_s, 1),
         "culled_build_s": round(build_s, 1),
         "compile_s": round(compile_s, 1),
         "mrays_per_sec": round(rate, 2),
         "settings": f"{args.res}^2@{args.spp}spp depth{args.depth}",
     }
-    with open(os.path.join(HERE, "stress1m_result.json"), "w") as f:
+    with open(os.path.join(HERE, f"stress{args.tag}_result.json"),
+              "w") as f:
         json.dump(result, f, indent=1)
     print(json.dumps(result))
 

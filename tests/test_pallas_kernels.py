@@ -556,3 +556,54 @@ class TestGroupedAnyHit:
         cs = ip.CulledScene(geom)
         got = np.asarray(cs.occluded(o, sd, maxd, pi_idx, pj_idx))
         np.testing.assert_array_equal(got, ref)
+
+
+class TestMultiPart:
+    """Partitioned CulledScene (scenes past the 13-bit cluster-id cap,
+    1.05M tris/pack): forced multi-part on a small scene must match the
+    single-pack backend exactly — per-triangle math is identical, the
+    min-combine only re-distributes the same clusters across packs."""
+
+    def test_closest_hit_matches_single_pack(self):
+        geom = subdivide(cornell_box("quads"), 3).build()  # 2048 tris
+        key = jax.random.key(23)
+        ko, kd = jax.random.split(key)
+        n = 4096
+        o = jax.random.uniform(
+            ko, (n, 3), minval=-2.4, maxval=2.4
+        ) + jnp.array([0.0, 2.75, 0.0])
+        d = jax.random.normal(kd, (n, 3))
+        d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+        cs1 = ip.CulledScene(geom)
+        cs4 = ip.CulledScene(geom, max_tris_per_part=512)
+        assert len(cs4.parts) == 4 and len(cs1.parts) == 1
+        h1 = cs1.closest_hit(geom, o, d)
+        h4 = cs4.closest_hit(geom, o, d)
+        np.testing.assert_array_equal(np.asarray(h1.t), np.asarray(h4.t))
+        np.testing.assert_array_equal(
+            np.asarray(h1.prim), np.asarray(h4.prim)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(h1.albedo), np.asarray(h4.albedo)
+        )
+        # pytree round-trip through a jit boundary keeps all parts
+        tj = jax.jit(lambda cs: cs.closest_hit(geom, o, d).t)(cs4)
+        np.testing.assert_array_equal(np.asarray(h4.t), np.asarray(tj))
+
+    def test_occluded_matches_single_pack(self):
+        geom = subdivide(cornell_box("quads"), 3).build()
+        key = jax.random.key(29)
+        ko, kd, km, ke = jax.random.split(key, 4)
+        n = 4096
+        o = jax.random.uniform(
+            ko, (n, 3), minval=-2.4, maxval=2.4
+        ) + jnp.array([0.0, 2.75, 0.0])
+        d = jax.random.normal(kd, (n, 3))
+        d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+        maxd = jax.random.uniform(km, (n,), minval=0.2, maxval=8.0)
+        ex_a = jax.random.randint(ke, (n,), -1, geom.num_prims)
+        cs1 = ip.CulledScene(geom)
+        cs4 = ip.CulledScene(geom, max_tris_per_part=512)
+        b1 = np.asarray(cs1.occluded(o, d, maxd, ex_a, None))
+        b4 = np.asarray(cs4.occluded(o, d, maxd, ex_a, None))
+        np.testing.assert_array_equal(b1, b4)

@@ -645,7 +645,8 @@ class CulledScene:
     can ride through jit boundaries)."""
 
     def __init__(self, geom: Geometry = None, _leaves=None,
-                 sort_rays=False, grouped=True, regroup=False):
+                 sort_rays=False, grouped=True, regroup=False,
+                 max_tris_per_part=None):
         self.sort_rays = sort_rays
         # grouped=True dispatches to the 8-ray-group kernel (measured
         # 1.8x coherent / 2.3x incoherent over the row kernel on the
@@ -662,19 +663,42 @@ class CulledScene:
         self.regroup = regroup and self.grouped
         if _leaves is not None:
             (self.tri_pack, self.cluster_min, self.cluster_max,
-             self.attr_table) = _leaves
+             self.attr_table) = _leaves[:4]
+            self._extra_parts = _leaves[4] if len(_leaves) > 4 else ()
             return
+        # The packed schedule key carries a 13-bit cluster-id field, so
+        # ONE pack holds at most _MAX_CLUSTERS clusters = 1.05M
+        # triangles. Beyond that the scene is PARTITIONED along the
+        # median-split order into contiguous cap-sized parts (each a
+        # compact run of split-tree leaves); closest-hit takes the min
+        # over parts (earlier part wins exact ties, matching the serial
+        # schedule's in-pack convention) and any-hit ORs. Cost is
+        # linear in parts — contrast the reference, which refuses >2M
+        # triangles outright and draws a bbox proxy instead
+        # (pbrt_loader.h:205-272).
+        cap = (_MAX_CLUSTERS * TRI_CHUNK if max_tris_per_part is None
+               else (max_tris_per_part // TRI_CHUNK) * TRI_CHUNK)
+        cap = max(cap, TRI_CHUNK)
         self.order = median_split_order(geom)
-        self.tri_pack, self.cluster_min, self.cluster_max = (
-            pack_triangles_ordered(geom, self.order)
-        )
+        parts = []
+        for s in range(0, self.order.shape[0], cap):
+            parts.append(self._build_part(geom, self.order[s:s + cap]))
+        (self.tri_pack, self.cluster_min, self.cluster_max,
+         self.attr_table) = parts[0]
+        self._extra_parts = tuple(parts[1:])
+        if self._extra_parts and self.regroup:
+            self.regroup = False   # probe keys span one pack only
+
+    @staticmethod
+    def _build_part(geom: Geometry, order: np.ndarray):
+        tri_pack, cmin, cmax = pack_triangles_ordered(geom, order)
         # One packed shading row per REORDERED triangle:
         # [nx ny nz | ar ag ab | er eg eb | material | prim | pad].
         # closest_hit then needs a single (B,) -> (B, 16) gather instead
         # of six chained per-lane gathers (order -> tri_prim -> 4 attr
         # tables), which measured 5.6 ms/bounce on the 101k-tri scene.
-        prim = np.asarray(geom.tri_prim)[self.order]
-        tpad = self.tri_pack.shape[1]
+        prim = np.asarray(geom.tri_prim)[order]
+        tpad = tri_pack.shape[1]
         at = np.zeros((tpad, ATTR_COLS), np.float32)
         t = prim.shape[0]
         at[:t, 0:3] = np.asarray(geom.normal)[prim]
@@ -682,12 +706,19 @@ class CulledScene:
         at[:t, 6:9] = np.asarray(geom.emission)[prim]
         at[:t, 9] = np.asarray(geom.material)[prim]
         at[:t, 10] = prim
-        self.attr_table = jnp.asarray(at)
+        return tri_pack, cmin, cmax, jnp.asarray(at)
+
+    @property
+    def parts(self):
+        """All triangle parts, primary first: tuples of
+        (tri_pack, cluster_min, cluster_max, attr_table)."""
+        return ((self.tri_pack, self.cluster_min, self.cluster_max,
+                 self.attr_table),) + self._extra_parts
 
     def tree_flatten(self):
         return (
             (self.tri_pack, self.cluster_min, self.cluster_max,
-             self.attr_table),
+             self.attr_table, self._extra_parts),
             (self.sort_rays, self.grouped, self.regroup),
         )
 
@@ -755,29 +786,49 @@ class CulledScene:
         )
         return t.reshape(b), ridx.reshape(b)
 
+    def _part_tuv(self, part, o, d, t_min, camera_mask):
+        tri_pack, cmin, cmax, _ = part
+        if (self.regroup and self.grouped and not self._extra_parts
+                and o.shape[0] % RAYS_PER_TILE == 0):
+            return self._regrouped_tuv(o, d, t_min, camera_mask)
+        if self.grouped:
+            return pallas_closest_tuv_dma_grouped(
+                tri_pack, cmin, cmax, o, d, t_min,
+            )
+        return pallas_closest_tuv_dma(
+            tri_pack, cmin, cmax, o, d, t_min, sort_rays=self.sort_rays,
+        )
+
     def closest_hit(self, geom: Geometry, o, d, t_min=1e-4,
                     t_max=jnp.inf, camera_mask=None):
         from .intersect import Hit
 
-        if (self.regroup and self.grouped
-                and o.shape[0] % RAYS_PER_TILE == 0):
-            t, ridx = self._regrouped_tuv(o, d, t_min, camera_mask)
-        elif self.grouped:
-            t, ridx = pallas_closest_tuv_dma_grouped(
-                self.tri_pack, self.cluster_min, self.cluster_max,
-                o, d, t_min,
-            )
-        else:
-            t, ridx = pallas_closest_tuv_dma(
-                self.tri_pack, self.cluster_min, self.cluster_max, o, d,
-                t_min, sort_rays=self.sort_rays,
-            )
+        parts = self.parts
+        t, ridx = self._part_tuv(parts[0], o, d, t_min, camera_mask)
+        pidx = jnp.zeros_like(ridx)
+        for pi, part in enumerate(parts[1:], start=1):
+            # min-combine across parts; strict < keeps the EARLIER part
+            # on exact ties (the serial schedule's own convention)
+            t2, r2 = self._part_tuv(part, o, d, t_min, camera_mask)
+            better = t2 < t
+            t = jnp.where(better, t2, t)
+            ridx = jnp.where(better, r2, ridx)
+            pidx = jnp.where(better, pi, pidx)
         valid = jnp.isfinite(t) & (t < t_max)
         if os.environ.get("TPT_ABLATE_ATTR_GATHER"):
             # perf ablation only: wrong attrs, same shapes/dtypes
             row = jnp.broadcast_to(self.attr_table[0:1], (o.shape[0], 16))
         else:
-            row = self.attr_table[jnp.where(valid, ridx, 0)]  # one gather
+            safe = jnp.where(valid, ridx, 0)
+            # one (B,) -> (B, 16) row gather per part, winner selected
+            # per lane (indices clamped to 0 on non-winning parts so
+            # every gather stays in range)
+            row = parts[0][3][jnp.where(pidx == 0, safe, 0)]
+            for pi, part in enumerate(parts[1:], start=1):
+                win = pidx == pi
+                row = jnp.where(
+                    win[:, None], part[3][jnp.where(win, safe, 0)], row
+                )
         p = o + jnp.where(valid, t, 0.0)[:, None] * d
         return Hit(
             valid=valid,
@@ -794,11 +845,18 @@ class CulledScene:
         """Segment any-hit through the grouped culled kernel — the
         form-factor visibility backend for HBM-scale scenes (drop-in
         for ops.intersect.occluded; same eps=1e-5 window and two
-        excluded logical primitives, form_factors.h:144-209)."""
-        return pallas_occluded_dma_grouped(
+        excluded logical primitives, form_factors.h:144-209). OR over
+        triangle parts for scenes past the one-pack cluster cap."""
+        blocked = pallas_occluded_dma_grouped(
             self.tri_pack, self.cluster_min, self.cluster_max,
             o, d, max_dist, exclude_a, exclude_b,
         )
+        for tri_pack, cmin, cmax, _ in self._extra_parts:
+            blocked = blocked | pallas_occluded_dma_grouped(
+                tri_pack, cmin, cmax, o, d, max_dist,
+                exclude_a, exclude_b,
+            )
+        return blocked
 
 
 # ---------------------------------------------------------------------------
