@@ -607,3 +607,28 @@ class TestMultiPart:
         b1 = np.asarray(cs1.occluded(o, d, maxd, ex_a, None))
         b4 = np.asarray(cs4.occluded(o, d, maxd, ex_a, None))
         np.testing.assert_array_equal(b1, b4)
+
+    def test_part_cull_fires_and_is_conservative(self):
+        """The per-part AABB cull must (a) actually fire on rays
+        originating outside the scene, and (b) never park a ray that
+        the part's own kernel would hit — the slab formula mirrors the
+        prepass and is float-monotone under box inclusion."""
+        geom = subdivide(cornell_box("quads"), 3).build()
+        cs4 = ip.CulledScene(geom, max_tris_per_part=512)
+        key = jax.random.key(31)
+        ko, kd = jax.random.split(key)
+        n = 2048
+        o = jax.random.uniform(ko, (n, 3), minval=-6.0, maxval=6.0)
+        d = jax.random.normal(kd, (n, 3))
+        d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+        fired = 0
+        for part in cs4.parts:
+            may, _hi = ip.CulledScene._part_may_hit(part, o, d, 1e-4)
+            t, _ = cs4._part_tuv(part, o, d, 1e-4, None)  # unculled
+            hit_real = np.isfinite(np.asarray(t))
+            may = np.asarray(may)
+            assert not (hit_real & ~may).any(), (
+                "part cull dropped a ray with a real hit"
+            )
+            fired += int((~may).sum())
+        assert fired > 0, "cull never fired on outside-origin rays"

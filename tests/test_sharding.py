@@ -272,3 +272,46 @@ class TestShardedSolve:
             jnp.mean(single.radiosity), jnp.mean(sharded.radiosity),
             rtol=0.05,
         )
+
+
+class TestTiledCulled:
+    """Multi-chip tiled rendering through the cluster-culled Pallas
+    backend — HBM-scale scenes across the mesh. The backend is
+    replicated like the scene; per-pixel sums are lane-order invariant
+    (pixel-keyed RNG, same-pixel respawn), so the gathered film must be
+    bitwise identical to the single-chip culled render."""
+
+    @pytest.fixture(autouse=True)
+    def interpret_mode(self, monkeypatch):
+        # CPU runs the Pallas kernels in interpreter mode (same patch
+        # as tests/test_pallas_kernels.py)
+        import tpu_pathtracer.ops.intersect_pallas as ip
+
+        orig = ip.pl.pallas_call
+
+        def patched(*a, **k):
+            k["interpret"] = True
+            return orig(*a, **k)
+
+        monkeypatch.setattr(ip.pl, "pallas_call", patched)
+
+    def test_tiled_culled_matches_single_chip_bitwise(self):
+        from tpu_pathtracer.ops.intersect_pallas import CulledScene
+        from tpu_pathtracer.scene.mesh import subdivide
+
+        geom = subdivide(cornell_box("quads"), 2).build()  # 512 tris
+        cam = CameraController.default().build()
+        s = RenderSettings(
+            width=32, height=32, max_depth=3, spp_per_pass=1,
+            ray_chunk=1024,
+        )
+        cs = CulledScene(geom)
+        single = ProgressiveRenderer(geom, cam, s, seed=7, culled=cs)
+        single.step()
+        tiled = TiledRenderer(geom, cam, s, seed=7, culled=cs)
+        tiled.step()
+        np.testing.assert_array_equal(
+            np.asarray(tiled.gather_film().accum),
+            np.asarray(single.film.accum),
+        )
+        assert tiled.total_rays > 0

@@ -46,6 +46,15 @@ ATTR_COLS = 16       # packed attribute width
 _BIG_ID = 2**30
 
 
+def _pallas_call(*args, **kwargs):
+    """pl.pallas_call that interprets on CPU (virtual-mesh tests and the
+    driver's multichip dryrun run every backend without TPU hardware;
+    on the TPU backend this is a zero-cost passthrough)."""
+    if jax.default_backend() == "cpu":
+        kwargs.setdefault("interpret", True)
+    return pl.pallas_call(*args, **kwargs)
+
+
 def _tri_pad(t: int) -> int:
     """Sublane-aligned triangle padding: small scenes pad to a multiple of
     8 (the f32 sublane tile) instead of a full 128-chunk — a 32-triangle
@@ -275,7 +284,7 @@ def pallas_closest_tuv(tri_pack: jax.Array, o, d, t_min=1e-4):
     rows = b // RAY_TILE
 
     ray_spec = _ray_spec()
-    t, idx = pl.pallas_call(
+    t, idx = _pallas_call(
         _kernel,
         grid=(rows // ROWS_PER_STEP,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)]
@@ -305,7 +314,7 @@ def pallas_closest_record(tri_pack, attr_pack, o, d, t_min=1e-4):
         (n_attr, ROWS_PER_STEP, RAY_TILE), lambda i: (0, i, 0),
         memory_space=pltpu.VMEM,
     )
-    t, idx, attrs = pl.pallas_call(
+    t, idx, attrs = _pallas_call(
         _kernel_full,
         grid=(rows // ROWS_PER_STEP,),
         in_specs=[
@@ -615,7 +624,7 @@ def pallas_closest_tuv_culled(tri_pack, cluster_min, cluster_max, o, d,
         (tiles_per_step, 1, mask.shape[2]), lambda i: (i, 0, 0),
         memory_space=pltpu.SMEM,
     )
-    t, idx = pl.pallas_call(
+    t, idx = _pallas_call(
         _kernel_culled,
         grid=(rows // ROWS_PER_STEP,),
         compiler_params=pltpu.CompilerParams(
@@ -715,6 +724,45 @@ class CulledScene:
         return ((self.tri_pack, self.cluster_min, self.cluster_max,
                  self.attr_table),) + self._extra_parts
 
+    @staticmethod
+    def _part_may_hit(part, o, d, t_min, maxd=None):
+        """Conservative ray-vs-part-AABB slab test (B,) bool.
+
+        Parts are contiguous runs of the median-split order — spatially
+        compact — so most rays provably miss every part but one. The
+        formula mirrors the prepass slab (_kernel_prepass_groups: tn
+        clamped to t_min, tf > 0, optional tn <= maxd; same 1e-8 inv-d
+        clamp), and slab hits are float-monotone under box inclusion
+        (per-axis intervals only widen, min/max/rounding are monotone),
+        so cluster-hit in the prepass implies part-hit here: culling on
+        a miss is EXACT, never drops a schedulable cluster."""
+        _, cmin, cmax, _ = part
+        lo = jnp.min(cmin, axis=0)
+        hi = jnp.max(cmax, axis=0)
+        it = 1.0 / jnp.where(jnp.abs(d) > 1e-8, d, 1e-8)
+        t1 = (lo[None, :] - o) * it
+        t2 = (hi[None, :] - o) * it
+        tn = jnp.maximum(
+            jnp.max(jnp.minimum(t1, t2), axis=-1), t_min
+        )
+        tf = jnp.min(jnp.maximum(t1, t2), axis=-1)
+        hit = (tf >= tn) & (tf > 0.0)
+        if maxd is not None:
+            hit = hit & (tn <= maxd)
+        return hit, hi
+
+    @staticmethod
+    def _park_missing(may_hit, hi, o, d):
+        """Park rays that miss the part outside its AABB pointing away
+        (+x past hi: every cluster's x-interval is then negative, the
+        prepass schedules nothing — the integrator's own dead-lane
+        convention). Parked rays return t=inf for this part."""
+        park_d = jnp.array([1.0, 0.0, 0.0], jnp.float32)
+        return (
+            jnp.where(may_hit[:, None], o, hi[None, :] + 1.0),
+            jnp.where(may_hit[:, None], d, park_d),
+        )
+
     def tree_flatten(self):
         return (
             (self.tri_pack, self.cluster_min, self.cluster_max,
@@ -804,12 +852,25 @@ class CulledScene:
         from .intersect import Hit
 
         parts = self.parts
-        t, ridx = self._part_tuv(parts[0], o, d, t_min, camera_mask)
+        multi = len(parts) > 1
+
+        def part_od(part):
+            # multi-part: park rays that provably miss this part's AABB
+            # so its prepass schedules nothing for them (exact cull —
+            # see _part_may_hit); single-part stays untouched.
+            if not multi:
+                return o, d
+            may_hit, hi = self._part_may_hit(part, o, d, t_min)
+            return self._park_missing(may_hit, hi, o, d)
+
+        op, dp = part_od(parts[0])
+        t, ridx = self._part_tuv(parts[0], op, dp, t_min, camera_mask)
         pidx = jnp.zeros_like(ridx)
         for pi, part in enumerate(parts[1:], start=1):
             # min-combine across parts; strict < keeps the EARLIER part
             # on exact ties (the serial schedule's own convention)
-            t2, r2 = self._part_tuv(part, o, d, t_min, camera_mask)
+            op, dp = part_od(part)
+            t2, r2 = self._part_tuv(part, op, dp, t_min, camera_mask)
             better = t2 < t
             t = jnp.where(better, t2, t)
             ridx = jnp.where(better, r2, ridx)
@@ -846,14 +907,32 @@ class CulledScene:
         form-factor visibility backend for HBM-scale scenes (drop-in
         for ops.intersect.occluded; same eps=1e-5 window and two
         excluded logical primitives, form_factors.h:144-209). OR over
-        triangle parts for scenes past the one-pack cluster cap."""
+        triangle parts for scenes past the one-pack cluster cap; rays
+        whose segment provably misses a part's AABB get max_dist=0 for
+        that part (the prepass then schedules nothing — the same free
+        inactive-lane mask the FF estimator uses)."""
+        parts = self.parts
+        multi = len(parts) > 1
+        max_dist = jnp.broadcast_to(
+            jnp.asarray(max_dist, jnp.float32), (o.shape[0],)
+        )
+
+        def part_md(part):
+            if not multi:
+                return max_dist
+            may_hit, _ = self._part_may_hit(
+                part, o, d, 1e-5, maxd=max_dist
+            )
+            return jnp.where(may_hit, max_dist, 0.0)
+
         blocked = pallas_occluded_dma_grouped(
             self.tri_pack, self.cluster_min, self.cluster_max,
-            o, d, max_dist, exclude_a, exclude_b,
+            o, d, part_md(parts[0]), exclude_a, exclude_b,
         )
-        for tri_pack, cmin, cmax, _ in self._extra_parts:
+        for part in parts[1:]:
+            tri_pack, cmin, cmax, _ = part
             blocked = blocked | pallas_occluded_dma_grouped(
-                tri_pack, cmin, cmax, o, d, max_dist,
+                tri_pack, cmin, cmax, o, d, part_md(part),
                 exclude_a, exclude_b,
             )
         return blocked
@@ -949,7 +1028,7 @@ def pallas_occluded(tri_pack, prim_pack, o, d, max_dist,
         exclude_a.astype(jnp.float32).reshape(rows, RAY_TILE),
         exclude_b.astype(jnp.float32).reshape(rows, RAY_TILE),
     ]
-    blocked = pl.pallas_call(
+    blocked = _pallas_call(
         _kernel_anyhit,
         grid=(rows // ROWS_PER_STEP,),
         in_specs=[
@@ -1142,7 +1221,7 @@ def _prepass(cluster_min, cluster_max, o, d, t_min):
     per_ray_shape = jax.ShapeDtypeStruct(
         (tiles, DMA_ROWS, RAY_TILE), jnp.float32
     )
-    pre, t_exit, _t_best, c_best = pl.pallas_call(
+    pre, t_exit, _t_best, c_best = _pallas_call(
         _kernel_prepass,
         grid=(tiles, cpad // TRI_CHUNK),
         in_specs=[
@@ -1268,7 +1347,7 @@ def _prepass_probe(cluster_min, cluster_max, o, d, t_min):
     per_ray_shape = jax.ShapeDtypeStruct(
         (tiles, DMA_ROWS, RAY_TILE), jnp.float32
     )
-    _t_best, c_best = pl.pallas_call(
+    _t_best, c_best = _pallas_call(
         _kernel_prepass_probe,
         grid=(tiles, cpad // TRI_CHUNK),
         in_specs=[
@@ -1697,7 +1776,7 @@ def pallas_closest_tuv_dma(tri_pack, cluster_min, cluster_max, o, d,
     ray_spec = pl.BlockSpec(
         (DMA_ROWS, RAY_TILE), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
-    t, idx, stats = pl.pallas_call(
+    t, idx, stats = _pallas_call(
         _kernel_culled_dma,
         grid=(tiles,),
         in_specs=[
@@ -1707,7 +1786,7 @@ def pallas_closest_tuv_dma(tri_pack, cluster_min, cluster_max, o, d,
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, 2), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),   # tri_pack in HBM
+            pl.BlockSpec(memory_space=pl.ANY),   # tri_pack in HBM
         ]
         + [ray_spec] * 7
         + [pl.BlockSpec(memory_space=pltpu.SMEM)],
@@ -1919,7 +1998,7 @@ def _prepass_groups(cluster_min, cluster_max, comps, t_min, b,
         (GROUP, RAY_TILE), lambda i, j: (i, 0),
         memory_space=pltpu.VMEM,
     )
-    ghit, tn, texit = pl.pallas_call(
+    ghit, tn, texit = _pallas_call(
         _kernel_prepass_groups if maxd is None
         else _kernel_prepass_groups_seg,
         grid=(tiles, cpad // TRI_CHUNK),
@@ -2407,7 +2486,7 @@ def pallas_closest_tuv_dma_grouped(tri_pack, cluster_min, cluster_max,
         + [texit],
         axis=1,
     )                            # (tiles, 7*8, 128)
-    out = pl.pallas_call(
+    out = _pallas_call(
         _kernel_grouped_dma,
         grid=(tiles,),
         compiler_params=pltpu.CompilerParams(
@@ -2419,9 +2498,9 @@ def pallas_closest_tuv_dma_grouped(tri_pack, cluster_min, cluster_max,
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
             (2 * GROUP, RAY_TILE), lambda i: (i, 0),
@@ -2693,14 +2772,14 @@ def pallas_occluded_dma_grouped(tri_pack, cluster_min, cluster_max,
          for x in comps + [md_t, exa_t, exb_t]],
         axis=1,
     )                            # (tiles, 9*8, 128)
-    out = pl.pallas_call(
+    out = _pallas_call(
         _kernel_grouped_anyhit_dma,
         grid=(tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
             (GROUP, RAY_TILE), lambda i: (i, 0),

@@ -63,6 +63,9 @@ def render_pass_tiled(
     settings: RenderSettings,
     mesh: Mesh,
     n_tiles: int,
+    tri_pack=None,
+    attr_pack=None,
+    culled=None,
 ):
     """One progressive pass with the film row-sharded over the mesh.
 
@@ -99,6 +102,7 @@ def render_pass_tiled(
             mis_bsdf_fraction, band_settings,
             pixel_offset=(tile * band * s.width).astype(jnp.int32),
             view_size=(s.width, s.height),
+            tri_pack=tri_pack, attr_pack=attr_pack, culled=culled,
         )
         return new_film, jax.lax.psum(rays, "tile")
 
@@ -130,6 +134,9 @@ class TiledRenderer:
         mis_bsdf_fraction: float = 0.5,
         seed: int = 2023,
         n_tiles: int | None = None,
+        tri_pack=None,
+        attr_pack=None,
+        culled=None,
     ):
         self.mesh = make_mesh(n_tiles)
         self.n_tiles = int(self.mesh.devices.size)
@@ -137,6 +144,13 @@ class TiledRenderer:
         self.camera = camera
         self.settings = settings
         self.cdfs = cdfs
+        # Intersection backends, replicated across the mesh like the
+        # scene itself: the VMEM pallas packs (tri_pack/attr_pack) or
+        # the cluster-culled CulledScene for HBM-scale geometry. Same
+        # semantics as ProgressiveRenderer's backend arguments.
+        self.tri_pack = tri_pack
+        self.attr_pack = attr_pack
+        self.culled = culled
         self.mis_bsdf_fraction = jnp.float32(mis_bsdf_fraction)
         self.key = rng.base_key(seed)
         hpad = _pad_rows(settings.height, self.n_tiles)
@@ -161,6 +175,9 @@ class TiledRenderer:
             self.settings,
             self.mesh,
             self.n_tiles,
+            tri_pack=self.tri_pack,
+            attr_pack=self.attr_pack,
+            culled=self.culled,
         )
         jax.block_until_ready(self.film.accum)
         self.total_rays += int(rays)
