@@ -191,3 +191,47 @@ Shape "plymesh" "string filename" ["mesh.ply"]
         )
         prims = load_pbrt(str(p))
         assert prims.num_prims == 3
+
+
+class TestPlyFastPath:
+    """The vectorized uniform-arity binary face decoder must agree with
+    the per-face loop exactly, and mixed-arity blocks must fall back."""
+
+    @staticmethod
+    def _binary_ply(faces):
+        header = (
+            b"ply\nformat binary_little_endian 1.0\n"
+            b"element vertex 6\n"
+            b"property float x\nproperty float y\nproperty float z\n"
+            b"element face %d\n"
+            b"property list uchar int vertex_indices\n"
+            b"end_header\n" % len(faces)
+        )
+        body = b"".join(
+            struct.pack("<fff", i, 2 * i, 3 * i) for i in range(6)
+        )
+        for f in faces:
+            body += struct.pack("<B" + "i" * len(f), len(f), *f)
+        return header + body
+
+    @staticmethod
+    def _fan(faces):
+        out = []
+        for f in faces:
+            for i in range(1, len(f) - 1):
+                out.append((f[0], f[i], f[i + 1]))
+        return np.asarray(out, np.int32)
+
+    def test_uniform_quads_vectorized(self, tmp_path):
+        faces = [(0, 1, 2, 3), (1, 2, 3, 4), (2, 3, 4, 5)]
+        f = tmp_path / "u.ply"
+        f.write_bytes(self._binary_ply(faces))
+        _, _, got = read_ply(str(f))
+        np.testing.assert_array_equal(got, self._fan(faces))
+
+    def test_mixed_arity_falls_back(self, tmp_path):
+        faces = [(0, 1, 2), (1, 2, 3, 4), (2, 3, 4, 5, 0), (3, 4, 5)]
+        f = tmp_path / "m.ply"
+        f.write_bytes(self._binary_ply(faces))
+        _, _, got = read_ply(str(f))
+        np.testing.assert_array_equal(got, self._fan(faces))

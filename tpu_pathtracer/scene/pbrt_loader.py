@@ -149,13 +149,19 @@ def _rotate(angle_deg, x, y, z):
 
 
 def _apply_pts(m, pts):
-    return pts @ m[:3, :3].T + m[:3, 3]
+    """Affine point transform in float32 — parity with the reference,
+    whose transforms run in float Vector3f math (pbrt_loader.h:63-71).
+    (Also ~20x faster than NumPy's mixed f32@f64 upcast path: 0.09 s
+    vs 1.7-2.7 s on a 2.1M-triangle mesh.)"""
+    m32 = np.asarray(m, np.float32)
+    return pts @ m32[:3, :3].T + m32[:3, 3]
 
 
 def _apply_normals(m, nrm):
     """Transform + renormalize via the upper 3x3 (pbrt_loader.h:72-80:
-    the reference skips the inverse transpose too)."""
-    out = nrm @ m[:3, :3].T
+    the reference skips the inverse transpose too); float32 like
+    _apply_pts."""
+    out = nrm @ np.asarray(m, np.float32)[:3, :3].T
     ln = np.linalg.norm(out, axis=-1, keepdims=True)
     return out / np.maximum(ln, 1e-20)
 
@@ -282,6 +288,7 @@ def read_ply(path: str):
 
     verts = norms = None
     faces = []
+    faces_arr = None  # set by the vectorized uniform-arity path
     if fmt == "ascii":
         tokens = body.decode("ascii", "replace").split()
         pos = 0
@@ -325,22 +332,60 @@ def read_ply(path: str):
                 cols = {p[0]: f"f{i}" for i, p in enumerate(props)}
                 verts = np.stack(
                     [arr[cols[c]] for c in ("x", "y", "z")], axis=-1
-                ).astype(np.float64)
+                ).astype(np.float32)
                 if "nx" in cols:
                     norms = np.stack(
                         [arr[cols[c]] for c in ("nx", "ny", "nz")], axis=-1
-                    ).astype(np.float64)
+                    ).astype(np.float32)
             elif name == "face":
-                cnt_t, _ = _PLY_TYPES[props[0][3]]
+                cnt_t, cnt_w = _PLY_TYPES[props[0][3]]
                 idx_t, idx_w = _PLY_TYPES[props[0][1]]
-                cnt_w = _PLY_TYPES[props[0][3]][1]
-                for _ in range(count):
-                    (k,) = struct.unpack_from("<" + cnt_t, body, off)
-                    off += cnt_w
-                    idx = struct.unpack_from("<" + idx_t * k, body, off)
-                    off += idx_w * k
-                    for i in range(1, k - 1):
-                        faces.append((idx[0], idx[i], idx[i + 1]))
+                # Uniform-arity fast path (the overwhelmingly common
+                # case): peek the first face's count; if every record
+                # in a fixed-stride structured view carries that count,
+                # the parse is provably correct (the first deviating
+                # face would sit at the right offset and fail the
+                # check), and the whole block decodes vectorized —
+                # the per-face struct.unpack loop cost 6 s at 2.1M.
+                done = False
+                if count > 0:
+                    (k0,) = struct.unpack_from("<" + cnt_t, body, off)
+                    if k0 >= 3:
+                        rec = np.dtype([("n", "<" + cnt_t),
+                                        ("i", "<" + idx_t, (k0,))])
+                        need = count * rec.itemsize
+                        if len(body) - off >= need:
+                            arr = np.frombuffer(
+                                body, dtype=rec, count=count, offset=off
+                            )
+                            if (arr["n"] == k0).all():
+                                idx = arr["i"]
+                                # fan triangulation, face-major — the
+                                # same order the serial loop appends
+                                fan = np.stack(
+                                    [
+                                        np.broadcast_to(
+                                            idx[:, :1],
+                                            (count, k0 - 2),
+                                        ),
+                                        idx[:, 1:-1],
+                                        idx[:, 2:],
+                                    ],
+                                    axis=-1,
+                                ).reshape(-1, 3)
+                                faces_arr = fan.astype(np.int32)
+                                off += need
+                                done = True
+                if not done:
+                    for _ in range(count):
+                        (k,) = struct.unpack_from("<" + cnt_t, body, off)
+                        off += cnt_w
+                        idx = struct.unpack_from(
+                            "<" + idx_t * k, body, off
+                        )
+                        off += idx_w * k
+                        for i in range(1, k - 1):
+                            faces.append((idx[0], idx[i], idx[i + 1]))
             else:
                 raise ValueError(
                     f"{path}: unsupported PLY element '{name}'"
@@ -348,12 +393,14 @@ def read_ply(path: str):
     else:
         raise ValueError(f"{path}: unsupported PLY format {fmt}")
 
-    if verts is None or not faces:
+    if faces_arr is None and faces:
+        faces_arr = np.asarray(faces, np.int32)
+    if verts is None or faces_arr is None or not len(faces_arr):
         raise ValueError(f"{path}: no vertex/face data")
     return (
-        verts.astype(np.float32),
-        None if norms is None else norms.astype(np.float32),
-        np.asarray(faces, np.int32),
+        verts.astype(np.float32, copy=False),
+        None if norms is None else norms.astype(np.float32, copy=False),
+        faces_arr,
     )
 
 
@@ -406,18 +453,17 @@ def parse_pbrt(path: str, max_triangles: int = PBRT_MAX_TRIANGLES):
     cam_lookat = None
     cam_fov = None
 
-    # collected triangles: list of (verts(F,3,3), normals(F,3)|None, mat,
-    # emission)
+    # collected meshes: list of (verts(V,3), faces(F,3),
+    # vnorms(V,3)|None, mat, emission) — vertices stay UN-gathered so
+    # the transform runs over V points, not 3F (identical f32 results:
+    # per-vertex arithmetic is the same either side of the gather)
     meshes = []
     total_tris = 0
 
     def add_mesh(verts, faces, vnorms, state):
         nonlocal total_tris
-        tv = verts[faces]                     # (F, 3, 3)
-        fn = None
-        if vnorms is not None:
-            fn = vnorms[faces[:, 0]]          # first-vertex normal wins
-        rec = (tv, fn, state.material, state.emission.copy())
+        rec = (verts, faces, vnorms, state.material,
+               state.emission.copy())
         if cur_object is not None:
             objects[cur_object].append((state.ctm.copy(), rec))
         else:
@@ -525,7 +571,7 @@ def parse_pbrt(path: str, max_triangles: int = PBRT_MAX_TRIANGLES):
             name = ts.next().strip('"')
             for def_ctm, rec in objects.get(name, []):
                 meshes.append((gs.ctm @ def_ctm, rec))
-                total_tris += len(rec[0])
+                total_tris += len(rec[1])
         elif tok == "Shape":
             stype = ts.next().strip('"')
             params = ts.params()
@@ -565,8 +611,10 @@ def parse_pbrt(path: str, max_triangles: int = PBRT_MAX_TRIANGLES):
         )
         lo = np.full(3, np.inf)
         hi = np.full(3, -np.inf)
-        for ctm, (tv, _, _, _) in meshes:
-            p = _apply_pts(ctm, tv.reshape(-1, 3))
+        for ctm, (verts, faces, _, _, _) in meshes:
+            # bbox over USED vertices only (matches the pre-gather
+            # behavior exactly; stray unreferenced verts don't count)
+            p = _apply_pts(ctm, verts)[np.unique(faces)]
             lo = np.minimum(lo, p.min(0))
             hi = np.maximum(hi, p.max(0))
         prims = _bbox_proxy(lo, hi)
@@ -574,13 +622,15 @@ def parse_pbrt(path: str, max_triangles: int = PBRT_MAX_TRIANGLES):
 
     # ----- expand -----
     corners, albedo, emission, material, normals = [], [], [], [], []
-    for ctm, (tv, fn, mat, emit) in meshes:
-        f = tv.shape[0]
-        p = _apply_pts(ctm, tv.reshape(-1, 3)).reshape(f, 3, 3)
+    for ctm, (verts, faces, vnorms, mat, emit) in meshes:
+        f = faces.shape[0]
+        p = _apply_pts(ctm, verts)[faces]            # (F, 3, 3)
         c = np.concatenate([p, p[:, 2:3]], axis=1)   # (F, 4, 3) tri enc
-        corners.append(c.astype(np.float32))
-        if fn is not None:
-            normals.append(_apply_normals(ctm, fn).astype(np.float32))
+        corners.append(c.astype(np.float32, copy=False))
+        if vnorms is not None:
+            # first-vertex normal wins (pre-gather parity)
+            fn = _apply_normals(ctm, vnorms)[faces[:, 0]]
+            normals.append(fn.astype(np.float32, copy=False))
         else:
             normals.append(np.zeros((f, 3), np.float32))
         albedo.append(np.broadcast_to(mat.albedo, (f, 3)))
