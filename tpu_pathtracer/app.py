@@ -70,7 +70,9 @@ def load_prims(cfg: Config) -> PrimList:
         elif ext == ".pbrt":
             from .scene.pbrt_loader import parse_pbrt
 
-            scene = parse_pbrt(cfg.scene)
+            scene = parse_pbrt(
+                cfg.scene, max_triangles=cfg.pbrt_max_triangles
+            )
             prims = scene.prims
             # Adopt the .pbrt camera when the user left ours at defaults
             # (additive: the reference discards the pbrt camera).

@@ -26,6 +26,10 @@ from ..core.constants import SAMPLING_MODE_NAMES
 class Config:
     # Scene
     scene: str = "cbox_quads"        # builtin name or .obj/.pbrt path
+    pbrt_max_triangles: int = 2_000_000   # PBRT proxy guard (reference
+    #   parity: >2M tris -> bbox proxy, pbrt_loader.h:205). Raise it to
+    #   render oversized scenes for real — the partitioned CulledScene
+    #   handles past the one-pack cap (docs/RESULTS.md, 2.1M measured)
     subdivision: int = 0             # 4-way loop subdivision levels
     convert_quads: bool = False      # quad -> 2 triangles at load
     mirror_tall_box: bool = False    # builtin cbox: mirror material demo
