@@ -73,14 +73,14 @@ AttributeBegin
   Material "matte" "rgb Kd" [0.8 0.8 0.8]
   Shape "trianglemesh"
     "point3 P" [-1 3.2 -1  1 3.2 -1  1 3.2 1  -1 3.2 1]
-    "integer indices" [0 2 1  0 3 2]
+    "integer indices" [0 1 2  0 2 3]
 AttributeEnd
 
 # ground plane
 Material "matte" "rgb Kd" [0.65 0.65 0.65]
 Shape "trianglemesh"
   "point3 P" [-8 -1.1 -8  8 -1.1 -8  8 -1.1 8  -8 -1.1 8]
-  "integer indices" [0 1 2  0 2 3]
+  "integer indices" [0 2 1  0 3 2]
 
 # displaced sphere (~{ntris} triangles)
 Material "matte" "rgb Kd" [0.75 0.45 0.25]

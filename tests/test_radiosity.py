@@ -379,3 +379,36 @@ class TestDirectionToCell:
         n = jnp.array([[0.0, 1.0, 0.0]])
         cell = int(direction_to_cell(jnp.array([[0.0, -1.0, 0.0]]), n)[0])
         assert cell >= 15 * 16
+
+
+class TestGridRefresh:
+    """solve_radiosity_shooting(grid_refresh=m): the post-solve dense
+    rebin replaces the sample-sparse shooting grids; B/unshot must be
+    untouched and the refreshed grids must carry energy."""
+
+    def test_refresh_replaces_grids_keeps_b(self):
+        import jax
+
+        from tpu_pathtracer.render.radiosity import (
+            solve_radiosity_shooting,
+        )
+        from tpu_pathtracer.scene.builtin import cornell_box
+        from tpu_pathtracer.scene.mesh import subdivide
+
+        geom = subdivide(cornell_box("quads"), 1).build()  # 64 prims
+        kw = dict(steps=8, shooters_per_step=8, mc_samples=2,
+                  check_every=0)
+        base = solve_radiosity_shooting(geom, jax.random.key(3), **kw)
+        ref = solve_radiosity_shooting(
+            geom, jax.random.key(3), grid_refresh=16,
+            grid_refresh_samples=4, **kw,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(base.radiosity), np.asarray(ref.radiosity)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(base.unshot), np.asarray(ref.unshot)
+        )
+        g = np.asarray(ref.rad_grid)
+        assert g.sum() > 0
+        assert not np.array_equal(g, np.asarray(base.rad_grid))
