@@ -268,6 +268,7 @@ class App:
                     shooters_per_step=cfg.shooters_per_step,
                     mc_samples=cfg.shooting_mc_samples,
                     occlusion_packs=occlusion_packs,
+                    grid_refresh=cfg.grid_refresh,
                 )
             else:
                 self.solution = solve_radiosity(

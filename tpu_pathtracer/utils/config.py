@@ -62,6 +62,10 @@ class Config:
     shooting_steps: int = 192        # shooting: step cap
     shooters_per_step: int = 128     # shooting: top-k batch size
     shooting_mc_samples: int = 4     # shooting: MC samples per FF pair
+    grid_refresh: int = 0            # shooting: post-solve dense grid
+    #   rebin vs the top-m converged-power prims (0 = off). Use when
+    #   the scene's emitters are few prims — sparse grids guide worse
+    #   than cosine (docs/RESULTS.md "grid refresh")
 
     # Grid filtering
     enable_grid_filtering: bool = False   # filter inside the solver loop
