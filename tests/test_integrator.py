@@ -433,3 +433,101 @@ class TestPixelQueues:
                 assert r._assignment is None
             films.append(np.asarray(r.film.accum))
         np.testing.assert_array_equal(films[0], films[1])
+
+
+class TestNextEventEstimation:
+    """NEE (additive capability; the reference's integrator.h has no
+    light sampling): unbiasedness, last-vertex gating, variance win,
+    and scan/wavefront estimator agreement."""
+
+    def test_furnace_unbiased(self):
+        """MIS-weighted NEE must not shift the furnace mean (the +0.65%
+        last-vertex truncation bias is gated off — see _shade)."""
+        got, _ = run_furnace(SAMPLING_BSDF, depth=5, n=1 << 14, nee=True)
+        assert got == pytest.approx(furnace_expected(0.5, 0.5, 5),
+                                    rel=0.01)
+
+    def test_depth_one_matches_pure_emission(self):
+        """max_depth=1 has no non-final vertex: NEE must add nothing
+        and the estimate reduces to directly visible emission."""
+        got, _ = run_furnace(SAMPLING_BSDF, depth=1, nee=True)
+        assert got == pytest.approx(0.5, abs=1e-5)
+
+    def test_nee_off_columns_unchanged(self):
+        """Enabling NEE appends RNG columns; with the term masked out
+        lane draws for the base estimator are identical, so a scene
+        with NO sampleable lights renders bitwise-identically."""
+        from tpu_pathtracer.render.integrator import (
+            build_nee_pack, nee_hit_weight,
+        )
+        geom = closed_cube(emit=0.0).build()    # no emitters: poa == 0
+        o, d = random_inside_rays(2048)
+        key = rng_mod.base_key(7)
+        r0, _ = trace(geom, o, d, key, max_depth=4)
+        r1, _ = trace(geom, o, d, key, max_depth=4, nee=True)
+        np.testing.assert_array_equal(np.asarray(r0), np.asarray(r1))
+
+    def test_hit_weight_sentinel_and_off_table(self):
+        """prev_pdf < 0 (camera/mirror) and off-table emitters must both
+        give hit-side weight exactly 1."""
+        from tpu_pathtracer.render.integrator import (
+            build_nee_pack, nee_hit_weight,
+        )
+        from tpu_pathtracer.ops.intersect import closest_hit
+        geom = closed_cube(emit=0.5).build()
+        pack = build_nee_pack(geom)
+        o, d = random_inside_rays(64)
+        hit = closest_hit(geom, o, d, t_min=1e-4)
+        w_cam = nee_hit_weight(pack, hit, d, jnp.full((64,), -1.0))
+        np.testing.assert_array_equal(np.asarray(w_cam), 1.0)
+        # competing strategies: weight strictly inside (0, 1)
+        w = np.asarray(nee_hit_weight(pack, hit, d, jnp.full((64,), 0.3)))
+        assert (w > 0.0).all() and (w < 1.0).all()
+
+    def test_wavefront_matches_scan_mean(self):
+        """Same estimator in both integrators: cbox means agree within
+        combined MC error at equal spp."""
+        from tpu_pathtracer.render.camera import CameraController
+        from tpu_pathtracer.render.renderer import (
+            ProgressiveRenderer,
+            RenderSettings,
+        )
+        from tpu_pathtracer.scene.builtin import cornell_box
+
+        geom = cornell_box("quads").build()
+        cam = CameraController.default().build()
+        means = []
+        for wavefront in (True, False):
+            s = RenderSettings(width=32, height=32, max_depth=5,
+                               spp_per_pass=64, ray_chunk=1024,
+                               wavefront=wavefront, nee=True)
+            r = ProgressiveRenderer(geom, cam, s, seed=3)
+            r.step()
+            means.append(float(np.asarray(r.film.accum).mean()) / 64)
+        assert means[0] == pytest.approx(means[1], rel=0.02)
+
+    def test_variance_reduction_on_small_emitter(self):
+        """The capability claim: on the cbox (small ceiling light) NEE
+        at 8 spp must beat BSDF-only at 8 spp by >2x RMSE against a
+        256-spp NEE reference (measured ~7x at 16 spp / 128^2)."""
+        from tpu_pathtracer.render.camera import CameraController
+        from tpu_pathtracer.render.renderer import (
+            ProgressiveRenderer,
+            RenderSettings,
+        )
+        from tpu_pathtracer.scene.builtin import cornell_box
+
+        geom = cornell_box("quads").build()
+        cam = CameraController.default().build()
+
+        def film(nee, spp, seed):
+            s = RenderSettings(width=32, height=32, max_depth=5,
+                               spp_per_pass=spp, ray_chunk=1024, nee=nee)
+            r = ProgressiveRenderer(geom, cam, s, seed=seed)
+            r.step()
+            return np.asarray(r.film.accum, np.float64) / spp
+
+        ref = film(True, 256, 1)
+        rmse_bsdf = np.sqrt(np.mean((film(False, 8, 2) - ref) ** 2))
+        rmse_nee = np.sqrt(np.mean((film(True, 8, 3) - ref) ** 2))
+        assert rmse_nee * 2.0 < rmse_bsdf

@@ -383,6 +383,7 @@ class App:
                 ray_chunk=cfg.ray_chunk,
                 sort_rays=cfg.sort_rays,
                 balance_lanes=cfg.balance_lanes,
+                nee=cfg.nee,
             )
             if cfg.num_tiles > 1:
                 from .parallel.sharding import TiledRenderer

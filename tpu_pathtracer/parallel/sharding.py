@@ -90,6 +90,7 @@ def render_pass_tiled(
         ray_chunk=min(s.ray_chunk, band * s.width),
         wavefront=s.wavefront,
         sort_rays=s.sort_rays,
+        nee=s.nee,
     )
 
     def tile_body(film_band, key_rep):

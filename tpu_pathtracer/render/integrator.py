@@ -50,6 +50,7 @@ from ..core.math_utils import (
     cosine_sample_hemisphere,
     dot,
     length,
+    luminance,
     power_heuristic,
     reflect,
 )
@@ -145,23 +146,162 @@ def _sample_mis(cdfs, prim, sn, draws, bsdf_prob, row16=None):
 
 
 
-def _num_draws(mode: int) -> int:
+def _num_draws(mode: int, nee: bool = False) -> int:
     """Uniforms consumed per bounce: (u, v, rr) for BSDF; (s0..s3, rr,
-    mis-select) for guided modes."""
-    return 3 if mode == SAMPLING_BSDF else 6
+    mis-select) for guided modes; +3 (light pick, u, v) with NEE.
+    NEE columns are APPENDED, so enabling it never re-keys the existing
+    modes' draws — NEE-off renders stay bitwise-golden."""
+    base = 3 if mode == SAMPLING_BSDF else 6
+    return base + (3 if nee else 0)
 
 
-def _shade(hit, d, beta, live, draws, mode, cdfs, mis_frac, do_rr):
+# --- Next-event estimation (additive capability; reference has none —
+# its renders pay full brute-force variance on small emitters) ---------
+
+MAX_NEE_LIGHTS = 128  # top emitters by power carried in the light table
+
+
+def build_nee_pack(geom: Geometry) -> dict:
+    """Light table for next-event estimation: the top-MAX_NEE_LIGHTS
+    primitives by emitted power (luminance x area), with a power CDF
+    for picking and per-light area pdfs. `poa` maps EVERY primitive to
+    its pick-probability/area (zero off-table), so the hit-side MIS
+    weight is exact for any table size: emitters the table omits get
+    pdf_light = 0 and full weight on the BSDF strategy — the estimator
+    stays unbiased, the table only bounds which lights NEE targets."""
+    power = luminance(geom.emission) * geom.area            # (N,)
+    kl = min(MAX_NEE_LIGHTS, int(geom.num_prims))
+    pw, ids = jax.lax.top_k(power, kl)
+    tot = jnp.maximum(jnp.sum(pw), 1e-20)
+    p = pw / tot
+    pdf_a = jnp.where(
+        pw > 0.0, p / jnp.maximum(geom.area[ids], 1e-20), 0.0
+    )
+    poa = jnp.zeros(geom.num_prims, jnp.float32).at[ids].set(pdf_a)
+    return dict(
+        ids=ids,
+        cdf=jnp.cumsum(p),
+        pdf_a=pdf_a,
+        corners=geom.corners[ids],
+        normal=geom.normal[ids],
+        emission=geom.emission[ids],
+        poa=poa,
+    )
+
+
+def _nee_term(pack, occl_fn, hit, sn, beta, active, u3):
+    """Direct-light contribution of one path vertex via next-event
+    estimation, MIS power-heuristic-weighted against BSDF sampling.
+
+    Uses pre-RR, pre-albedo beta (the vertex's own contribution, like
+    the emission add) with the diffuse BRDF albedo/pi applied
+    explicitly. Emitters are DOUBLE-SIDED, matching the hit estimator
+    (which adds Le on any hit regardless of side). All table fetches
+    are one-hot contractions over the <=128-row light table — no
+    per-lane gathers in the hot loop."""
+    kl = pack["cdf"].shape[0]
+    idx = jnp.sum(
+        (u3[:, 0][:, None] >= pack["cdf"][None, :]).astype(jnp.int32),
+        axis=1,
+    )
+    onehot = jax.nn.one_hot(jnp.clip(idx, 0, kl - 1), kl,
+                            dtype=jnp.float32)              # (B, kl)
+    corners = (onehot @ pack["corners"].reshape(kl, 12)).reshape(-1, 4, 3)
+    n_l = onehot @ pack["normal"]
+    le = onehot @ pack["emission"]
+    pdf_a = onehot @ pack["pdf_a"]
+    prim_l = (onehot @ pack["ids"].astype(jnp.float32)).astype(jnp.int32)
+
+    from .radiosity import sample_on_corners
+
+    y = sample_on_corners(corners, u3[:, 1], u3[:, 2])
+    seg = y - hit.p
+    r = jnp.linalg.norm(seg, axis=-1)
+    ld = seg / jnp.maximum(r, 1e-20)[:, None]
+    cos_x = dot(sn, ld)
+    cos_y = jnp.abs(dot(n_l, ld))                  # double-sided emitter
+    ok = (
+        active
+        & (cos_x > 0.0)
+        & (cos_y > 1e-8)
+        & (pdf_a > 0.0)
+        & (r > 1e-5)
+    )
+    blocked = occl_fn(
+        hit.p + sn * RAY_EPS,
+        ld,
+        jnp.where(ok, r - 2.0 * RAY_EPS, 0.0),
+        hit.prim,
+        prim_l,
+    )
+    ok = ok & ~blocked
+    pdf_l = pdf_a * r * r / jnp.maximum(cos_y, 1e-8)
+    pdf_b = cos_x / PI
+    w = power_heuristic(pdf_l, pdf_b)
+    scale = jnp.minimum(
+        cos_x / (PI * jnp.maximum(pdf_l, 1e-12)) * w, FIREFLY_CLAMP
+    )
+    return jnp.where(
+        ok[:, None], beta * hit.albedo * le * scale[:, None], 0.0
+    )
+
+
+def nee_hit_weight(pack, hit, d_in, prev_pdf):
+    """MIS weight for emission picked up by a BSDF-sampled ray: power
+    heuristic of the previous vertex's solid-angle bsdf pdf against the
+    light-sampling pdf of this hit point. prev_pdf < 0 is the sentinel
+    for camera rays and delta/mirror bounces — light sampling never
+    competes there, weight 1. Off-table emitters have poa = 0 ->
+    pdf_light = 0 -> weight 1 (see build_nee_pack)."""
+    poa = pack["poa"][hit.prim]                    # (B,) gather
+    cos_y = jnp.abs(dot(hit.n, d_in))
+    t_safe = jnp.where(jnp.isfinite(hit.t), hit.t, 0.0)
+    pdf_l = poa * t_safe * t_safe / jnp.maximum(cos_y, 1e-8)
+    return jnp.where(
+        prev_pdf < 0.0, 1.0, power_heuristic(prev_pdf, pdf_l)
+    )
+
+
+def _shade(hit, d, beta, live, draws, mode, cdfs, mis_frac, do_rr,
+           nee=None, emis_w=None, nee_active=None):
     """Post-intersection bounce: emission contribution, Russian roulette,
     albedo, direction sampling, mirror override, respawn origin.
 
     Shared by the per-depth scan integrator and the wavefront-with-respawn
     integrator. `do_rr` is a per-lane bool mask (depth > 2).
 
-    Returns (o_next, d_next, beta, live, contribution).
+    With next-event estimation: `nee = (pack, occl_fn)` adds the
+    MIS-weighted direct-light term at this vertex (computed with the
+    vertex's pre-RR beta, like the emission add — RR only gates the
+    continuation), and `emis_w` (B,) scales the hit-emission term by
+    the caller-computed hit-side MIS weight. Both default to the
+    reference estimator exactly. `nee_active` masks the light sample
+    off at the LAST path vertex (depth == max_depth-1): its shadow
+    segment would gather emission one vertex beyond the depth bound,
+    which the BSDF side never collects — without the mask the MIS
+    pair is incomplete there and the estimate is biased high by
+    ~the light-weighted share of albedo^max_depth (measured +0.65%
+    on the depth-5 furnace).
+
+    Returns (o_next, d_next, beta, live, contribution, pdf_b) where
+    pdf_b is the solid-angle pdf of the sampled direction (-1 sentinel
+    for mirror bounces), consumed by the next vertex's hit-side weight.
     """
     rr_col = 2 if mode == SAMPLING_BSDF else 4
-    contribution = jnp.where(live[:, None], beta * hit.emission, 0.0)
+    w_emis = 1.0 if emis_w is None else emis_w[:, None]
+    contribution = jnp.where(
+        live[:, None], beta * hit.emission * w_emis, 0.0
+    )
+    is_mirror = hit.material == MATERIAL_MIRROR
+    sn = jnp.where((dot(d, hit.n) < 0.0)[:, None], hit.n, -hit.n)
+    if nee is not None:
+        pack, occl_fn = nee
+        active = live & ~is_mirror
+        if nee_active is not None:
+            active = active & nee_active
+        contribution = contribution + _nee_term(
+            pack, occl_fn, hit, sn, beta, active, draws[:, -3:],
+        )
 
     # Russian roulette (integrator.h:207-212)
     max_beta = jnp.max(beta, axis=-1)
@@ -173,8 +313,6 @@ def _shade(hit, d, beta, live, draws, mode, cdfs, mis_frac, do_rr):
 
     beta = beta * hit.albedo
     live = live & (length(beta) >= THROUGHPUT_EPS)
-
-    sn = jnp.where((dot(d, hit.n) < 0.0)[:, None], hit.n, -hit.n)
 
     if mode == SAMPLING_BSDF:
         nd, w = _sample_bsdf(sn, draws[:, 0], draws[:, 1])
@@ -193,13 +331,15 @@ def _shade(hit, d, beta, live, draws, mode, cdfs, mis_frac, do_rr):
 
     # Mirror lobe (additive capability): specular reflection, no pdf
     # weighting; tint already applied via beta *= albedo.
-    is_mirror = hit.material == MATERIAL_MIRROR
     nd = jnp.where(is_mirror[:, None], reflect(d, sn), nd)
     w = jnp.where(is_mirror, 1.0, w)
 
     beta = beta * w[:, None]
     o_next = hit.p + sn * RAY_EPS
-    return o_next, nd, beta, live, contribution
+    pdf_b = jnp.where(
+        is_mirror, -1.0, jnp.maximum(dot(nd, sn), 0.0) / PI
+    )
+    return o_next, nd, beta, live, contribution, pdf_b
 
 
 def _intersect(geom, o, d, bvh, tri_pack, attr_pack, culled=None,
@@ -231,6 +371,7 @@ def trace(
     attr_pack: jax.Array | None = None,
     culled=None,
     lane_ids: jax.Array | None = None,
+    nee: bool = False,
 ) -> tuple[jax.Array, TraceStats]:
     """Trace a batch of paths to completion.
 
@@ -265,8 +406,18 @@ def trace(
         lane_ids = jnp.arange(b, dtype=jnp.int32)
     mis_frac = jnp.asarray(mis_bsdf_fraction, jnp.float32)
 
+    if nee:
+        nee_pack = build_nee_pack(geom)
+
+        def occl_fn(so, sd, maxd, ex_a, ex_b):
+            if culled is not None:
+                return culled.occluded(so, sd, maxd, ex_a, ex_b)
+            from ..ops.intersect import occluded as brute_occluded
+
+            return brute_occluded(geom, so, sd, maxd, ex_a, ex_b)
+
     def bounce(carry, depth):
-        o, d, beta, radiance, alive = carry
+        o, d, beta, radiance, alive, prev_pdf = carry
         n_alive = jnp.sum(alive)
 
         if tri_pack is not None:
@@ -278,57 +429,25 @@ def trace(
         else:
             hit = closest_hit(geom, o, d, t_min=RAY_EPS)
         live = alive & hit.valid
-        radiance = radiance + jnp.where(
-            live[:, None], beta * hit.emission, 0.0
-        )
 
-        n_draws = 3 if mode == SAMPLING_BSDF else 6
-        rr_col = 2 if mode == SAMPLING_BSDF else 4
         draws = rng.lane_uniforms(
-            jax.random.fold_in(key, depth), lane_ids, n_draws
+            jax.random.fold_in(key, depth), lane_ids,
+            _num_draws(mode, nee),
         )
-
-        # Russian roulette (integrator.h:207-212): strictly after depth 2.
-        do_rr = depth > RR_START_DEPTH
-        max_beta = jnp.max(beta, axis=-1)
-        rr_p = jnp.minimum(max_beta, RR_MAX_PROB)
-        rr_kill = do_rr & (draws[:, rr_col] > rr_p)
-        live = live & ~rr_kill
-        rr_div = jnp.where(do_rr & live, jnp.maximum(rr_p, 1e-12), 1.0)
-        beta = beta / rr_div[:, None]
-
-        beta = beta * hit.albedo
-        live = live & (length(beta) >= THROUGHPUT_EPS)
-
-        sn = jnp.where(
-            (dot(d, hit.n) < 0.0)[:, None], hit.n, -hit.n
+        emis_w = (
+            nee_hit_weight(nee_pack, hit, d, prev_pdf) if nee else None
         )
-
-        if mode == SAMPLING_BSDF:
-            nd, w = _sample_bsdf(sn, draws[:, 0], draws[:, 1])
-        else:
-            if mode == SAMPLING_MIS:
-                nd_g, w_g, g_valid = _sample_mis(
-                    cdfs, hit.prim, sn, draws, mis_frac,
-                    row16=hit.guide,
-                )
-            else:
-                nd_g, w_g, g_valid = _sample_pure_grid(
-                    cdfs, hit.prim, sn, draws, row16=hit.guide
-                )
-            nd_c, w_c = _sample_bsdf(sn, draws[:, 0], draws[:, 1])
-            nd = jnp.where(g_valid[:, None], nd_g, nd_c)
-            w = jnp.where(g_valid, w_g, w_c)
-
-        # Mirror lobe (additive capability): specular reflection, no pdf
-        # weighting; tint already applied via beta *= albedo.
-        is_mirror = hit.material == MATERIAL_MIRROR
-        nd = jnp.where(is_mirror[:, None], reflect(d, sn), nd)
-        w = jnp.where(is_mirror, 1.0, w)
-
-        beta = beta * w[:, None]
-        o = hit.p + sn * RAY_EPS
-        return (o, nd, beta, radiance, live), n_alive
+        o, nd, beta, live, contrib, pdf_b = _shade(
+            hit, d, beta, live, draws, mode, cdfs, mis_frac,
+            depth > RR_START_DEPTH,
+            nee=(nee_pack, occl_fn) if nee else None,
+            emis_w=emis_w,
+            nee_active=depth < max_depth - 1,
+        )
+        radiance = radiance + contrib
+        if nee:
+            prev_pdf = pdf_b
+        return (o, nd, beta, radiance, live, prev_pdf), n_alive
 
     init = (
         origins,
@@ -336,8 +455,9 @@ def trace(
         jnp.ones((b, 3), jnp.float32),
         jnp.zeros((b, 3), jnp.float32),
         jnp.ones((b,), bool),
+        jnp.full((b,), -1.0, jnp.float32),
     )
-    (_, _, _, radiance, _), per_depth = jax.lax.scan(
+    (_, _, _, radiance, _, _), per_depth = jax.lax.scan(
         bounce, init, jnp.arange(max_depth)
     )
     stats = TraceStats(rays=jnp.sum(per_depth), depth_alive=per_depth)
@@ -392,6 +512,7 @@ def trace_wavefront(
     lane_ids: jax.Array | None = None,
     return_lane_steps: bool = False,
     tile_sync: int = 0,
+    nee: bool = False,
 ) -> tuple[jax.Array, ...]:
     """Persistent wavefront with same-pixel respawn.
 
@@ -442,6 +563,13 @@ def trace_wavefront(
     """
     if mode != SAMPLING_BSDF and cdfs is None:
         raise ValueError("guided sampling modes require a CDFPack")
+    if nee and mode != SAMPLING_BSDF:
+        raise ValueError(
+            "nee=True requires SAMPLING_BSDF: the hit-side MIS weight "
+            "uses the cosine pdf; combining NEE with guided sampling "
+            "needs the guided mixture pdf along the sampled direction "
+            "(not implemented)"
+        )
 
     queue_mode = pixel_x.ndim == 2
     k = pixel_x.shape[1] if queue_mode else 1
@@ -470,6 +598,16 @@ def trace_wavefront(
     # the (pixel, sample, depth) counter words, not in the key chain.
     key_cam = jax.random.fold_in(key, 101)
     key_path = jax.random.fold_in(key, 7)
+
+    if nee:
+        nee_pack = build_nee_pack(geom)
+
+        def occl_fn(so, sd, maxd, ex_a, ex_b):
+            if culled is not None:
+                return culled.occluded(so, sd, maxd, ex_a, ex_b)
+            from ..ops.intersect import occluded as brute_occluded
+
+            return brute_occluded(geom, so, sd, maxd, ex_a, ex_b)
 
     def spawn(mask, o, d, pid, sample_idx):
         # px/py are DERIVED from the global pixel id (pid = y*width + x
@@ -512,12 +650,19 @@ def trace_wavefront(
         # (sample, depth) counter: `done` counts STARTED samples, so the
         # in-flight sample index is done-1; depth here is pre-increment.
         draws = rng.lane_uniforms(
-            key_path, pid, _num_draws(mode),
+            key_path, pid, _num_draws(mode, nee),
             sub_ids=(done - 1) * (max_depth + 1) + depth,
         )
-        o, d, beta, live, contrib = _shade(
+        emis_w = (
+            nee_hit_weight(nee_pack, hit, d, s["prev_pdf"])
+            if nee else None
+        )
+        o, d, beta, live, contrib, pdf_b = _shade(
             hit, d, beta, live, draws, mode, cdfs, mis_frac,
             depth > RR_START_DEPTH,
+            nee=(nee_pack, occl_fn) if nee else None,
+            emis_w=emis_w,
+            nee_active=depth < max_depth - 1,
         )
         # Accumulate into the current queue slot (one-hot over K).
         if k == 1:
@@ -575,6 +720,10 @@ def trace_wavefront(
         d = jnp.where(alive[:, None], d, park_d)
         s.update(o=o, d=d, beta=beta, alive=alive, depth=depth,
                  done=done, pid=pid, slot=slot)
+        if nee:
+            # camera (re)spawns carry the sentinel: no light-sampling
+            # competitor for directly visible emission
+            s["prev_pdf"] = jnp.where(respawn, -1.0, pdf_b)
 
         if sort_rays:
             # 3-bit direction octant above 27 bits of origin Morton:
@@ -591,7 +740,8 @@ def trace_wavefront(
             code = jnp.where(alive, code, jnp.int32(2**30))
             perm = jnp.argsort(code)
             for name in ("o", "d", "beta", "total", "alive", "depth",
-                         "done", "orig", "pid", "slot", "pidq", "steps"):
+                         "done", "orig", "pid", "slot", "pidq", "steps",
+                         "prev_pdf"):
                 if name in s:
                     s[name] = s[name][perm]
 
@@ -620,6 +770,8 @@ def trace_wavefront(
     )
     if sort_rays:
         state["orig"] = jnp.arange(b, dtype=jnp.int32)
+    if nee:
+        state["prev_pdf"] = jnp.full((b,), -1.0, jnp.float32)
     if return_lane_steps:
         state["steps"] = jnp.zeros((b,), jnp.int32)
     if tile_sync and k > 1:

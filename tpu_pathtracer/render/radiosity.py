@@ -76,7 +76,13 @@ def sample_uniform_on_prims(geom: Geometry, prim_idx, r1, r2):
     ratio with r1 remapped; triangles (stored (a,b,c,c)) always take the
     first branch with ratio 1, reproducing triangle barycentric sampling.
     """
-    c = geom.corners[prim_idx]                    # (..., 4, 3)
+    return sample_on_corners(geom.corners[prim_idx], r1, r2)
+
+
+def sample_on_corners(c, r1, r2):
+    """Area-uniform point on a 4-corner primitive encoding (..., 4, 3)
+    — the corners-only core of sample_uniform_on_prims, shared with the
+    integrator's next-event light sampling (primitive.h:150-191)."""
     v00, v10, v11, v01 = c[..., 0, :], c[..., 1, :], c[..., 2, :], c[..., 3, :]
 
     a1 = 0.5 * jnp.linalg.norm(

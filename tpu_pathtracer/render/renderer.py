@@ -47,6 +47,11 @@ class RenderSettings:
     ray_chunk: int = 1 << 16     # rays in flight per lax.map step
     wavefront: bool = True       # same-pixel-respawn wavefront loop
     sort_rays: bool = False      # Morton-sort lanes per bounce (big scenes)
+    nee: bool = False            # next-event estimation (additive; the
+                                 # reference has none): per-vertex MIS-
+                                 # weighted direct-light sampling. BSDF
+                                 # mode only; estimator changes, so NOT
+                                 # golden-comparable with nee off
     balance_tile_sync: bool = False  # advance dealt lane queues one
                                  # whole 1024-lane kernel tile at a time
                                  # (keeps culled-backend tile/group
@@ -269,6 +274,7 @@ def render_pass(
                 attr_pack=attr_pack,
                 culled=culled,
                 sort_rays=s.sort_rays,
+                nee=s.nee,
                 lane_ids=lane_ids,
                 tile_sync=1024 if (
                     s.balance_tile_sync and s.balance_lanes > 1
@@ -300,6 +306,7 @@ def render_pass(
                 attr_pack=attr_pack,
                 culled=culled,
                 lane_ids=lane_ids,
+                nee=s.nee,
             )
             return (radiance_sum + radiance, rays + stats.rays), None
 
