@@ -185,6 +185,30 @@ def main():
     except Exception as e:  # noqa: BLE001
         extra["shooting_sub6_s_per_step"] = f"error: {e}"
 
+    # --- next-event estimation quality: RMSE gain at equal spp ---
+    # Additive estimator capability (reference integrator.h samples only
+    # the BSDF): cbox 128^2 depth-5, 16 spp, both estimators against a
+    # 1024-spp NEE reference. Value = rmse_bsdf / rmse_nee (measured
+    # ~7x; >=2x is the test-enforced floor).
+    try:
+        import numpy as np
+
+        def _film(nee, spp, seed):
+            s_n = RenderSettings(
+                width=128, height=128, max_depth=5, spp_per_pass=spp,
+                ray_chunk=1 << 14, nee=nee,
+            )
+            r_n = ProgressiveRenderer(geom, cam, s_n, seed=seed, **packs)
+            r_n.step()
+            return np.asarray(r_n.film.accum, np.float64) / spp
+
+        ref_f = _film(True, 1024, 1)
+        rmse_b = np.sqrt(np.mean((_film(False, 16, 2) - ref_f) ** 2))
+        rmse_n = np.sqrt(np.mean((_film(True, 16, 3) - ref_f) ** 2))
+        extra["nee_rmse_gain_16spp"] = round(float(rmse_b / rmse_n), 2)
+    except Exception as e:  # noqa: BLE001
+        extra["nee_rmse_gain_16spp"] = f"error: {e}"
+
     # --- config #4: 101k-tri pbrt stress scene, culled DMA backend ---
     try:
         import numpy as np
