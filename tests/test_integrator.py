@@ -531,3 +531,40 @@ class TestNextEventEstimation:
         rmse_bsdf = np.sqrt(np.mean((film(False, 8, 2) - ref) ** 2))
         rmse_nee = np.sqrt(np.mean((film(True, 8, 3) - ref) ** 2))
         assert rmse_nee * 2.0 < rmse_bsdf
+
+    def test_furnace_unbiased_mis_mode(self):
+        """NEE composed with one-sample guided MIS: the forward density
+        is the true mixture p_b*cos/pi + p_g*grid, used on both the
+        NEE side and the hit side — furnace mean must be unchanged."""
+        geom = closed_cube().build()
+        cdfs = build_cdfs(jnp.ones((geom.num_prims, 256)))
+        got, _ = run_furnace(SAMPLING_MIS, depth=4, cdfs=cdfs,
+                             mis_bsdf_fraction=0.5, nee=True, n=1 << 15)
+        assert got == pytest.approx(furnace_expected(0.5, 0.5, 4),
+                                    rel=0.05)
+
+    def test_furnace_unbiased_grid_mode(self):
+        """NEE composed with pure grid guiding (forward density = grid
+        pdf where valid, cosine fallback elsewhere)."""
+        geom = closed_cube().build()
+        cdfs = build_cdfs(jnp.ones((geom.num_prims, 256)))
+        got, _ = run_furnace(SAMPLING_RADIOSITY, depth=4, cdfs=cdfs,
+                             nee=True, n=1 << 15)
+        assert got == pytest.approx(furnace_expected(0.5, 0.5, 4),
+                                    rel=0.05)
+
+    def test_guided_nee_invalid_grid_matches_bsdf_nee(self):
+        """All-invalid grids: guided+NEE must degrade to EXACTLY the
+        BSDF+NEE estimator in value (same fallback directions, same
+        cosine forward density in both MIS weights) — the draw columns
+        differ (6+3 vs 3+3) so compare means, not bits."""
+        geom = closed_cube(emit=0.5).build()
+        cdfs = build_cdfs(jnp.zeros((geom.num_prims, 256)))
+        o, d = random_inside_rays(1 << 14)
+        key = rng_mod.base_key(9)
+        r_b, _ = trace(geom, o, d, key, max_depth=4, nee=True)
+        r_g, _ = trace(geom, o, d, key, max_depth=4, nee=True,
+                       mode=SAMPLING_RADIOSITY, cdfs=cdfs)
+        mb = float(jnp.mean(r_b))
+        mg = float(jnp.mean(r_g))
+        assert mg == pytest.approx(mb, rel=0.02)

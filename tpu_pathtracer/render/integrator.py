@@ -81,10 +81,12 @@ def _sample_bsdf(sn, u, v):
 
 def _sample_pure_grid(cdfs, prim, sn, draws, row16=None):
     """Pure grid-guided sampling with the cos/(pi*pdf) reweighting and
-    firefly clamp (integrator.h:244-257). Returns (dir, weight, valid)
-    with the grid-validity flag coming out of the same prim_table fetch
-    the sampler uses (one fetch, not two). `row16` may arrive
-    pre-selected from the Pallas hit kernel (Hit.guide)."""
+    firefly clamp (integrator.h:244-257). Returns (dir, weight, valid,
+    pdf) — pdf is the grid density of the returned direction (the
+    forward-strategy density NEE's MIS weights need) — with the
+    grid-validity flag coming out of the same prim_table fetch the
+    sampler uses (one fetch, not two). `row16` may arrive pre-selected
+    from the Pallas hit kernel (Hit.guide)."""
     if row16 is None:
         row16 = fetch_rows(cdfs.prim_table, prim)
     d, pdf = sample_grid(
@@ -93,14 +95,18 @@ def _sample_pure_grid(cdfs, prim, sn, draws, row16=None):
     )
     cos_t = jnp.maximum(dot(d, sn), 0.0)
     w = cos_t / (PI * jnp.maximum(pdf, 1e-6))
-    return d, jnp.clip(w, 0.0, FIREFLY_CLAMP), row16[:, 9] > 0.0
+    return d, jnp.clip(w, 0.0, FIREFLY_CLAMP), row16[:, 9] > 0.0, pdf
 
 
 def _sample_mis(cdfs, prim, sn, draws, bsdf_prob, row16=None):
     """One-sample MIS with power heuristic (integrator.h:112-166).
-    Returns (dir, weight, valid). Both distribution queries go through
-    guiding.sample_grid_mis, which coalesces the per-lane fetches;
-    `row16` may arrive pre-selected from the Pallas hit kernel."""
+    Returns (dir, weight, valid, pdf_mix) where pdf_mix is the true
+    marginal density of the one-sample procedure at the returned
+    direction — p_b * pdf_cos + p_g * pdf_grid — the forward-strategy
+    density NEE's MIS weights compete against. Both distribution
+    queries go through guiding.sample_grid_mis, which coalesces the
+    per-lane fetches; `row16` may arrive pre-selected from the Pallas
+    hit kernel."""
     p_b = jnp.clip(bsdf_prob, 0.01, 0.99)
     p_g = 1.0 - p_b
     use_bsdf = draws[:, 5] < p_b
@@ -142,7 +148,12 @@ def _sample_mis(cdfs, prim, sn, draws, bsdf_prob, row16=None):
 
     d = jnp.where(use_bsdf[:, None], d_b, d_g)
     w = jnp.where(use_bsdf, w_b, w_g)
-    return d, w, g_valid
+    pdf_mix = jnp.where(
+        use_bsdf,
+        p_b * pdf_bb + p_g * pdf_bg,
+        p_b * pdf_gb + p_g * pdf_gg,
+    )
+    return d, w, g_valid, pdf_mix
 
 
 
@@ -189,9 +200,14 @@ def build_nee_pack(geom: Geometry) -> dict:
     )
 
 
-def _nee_term(pack, occl_fn, hit, sn, beta, active, u3):
+def _nee_term(pack, occl_fn, hit, sn, beta, active, u3, fwd_pdf):
     """Direct-light contribution of one path vertex via next-event
-    estimation, MIS power-heuristic-weighted against BSDF sampling.
+    estimation, MIS power-heuristic-weighted against the forward
+    (direction-sampling) strategy, whose solid-angle density along the
+    shadow direction is `fwd_pdf(ld, cos_x)` — cos/pi for BSDF mode,
+    the grid/mixture density for guided modes (must be the SAME
+    function the sampler reports for its own directions, so the two
+    weights are complementary per light path).
 
     Uses pre-RR, pre-albedo beta (the vertex's own contribution, like
     the emission add) with the diffuse BRDF albedo/pi applied
@@ -236,7 +252,7 @@ def _nee_term(pack, occl_fn, hit, sn, beta, active, u3):
     )
     ok = ok & ~blocked
     pdf_l = pdf_a * r * r / jnp.maximum(cos_y, 1e-8)
-    pdf_b = cos_x / PI
+    pdf_b = fwd_pdf(ld, cos_x)
     w = power_heuristic(pdf_l, pdf_b)
     scale = jnp.minimum(
         cos_x / (PI * jnp.maximum(pdf_l, 1e-12)) * w, FIREFLY_CLAMP
@@ -247,9 +263,11 @@ def _nee_term(pack, occl_fn, hit, sn, beta, active, u3):
 
 
 def nee_hit_weight(pack, hit, d_in, prev_pdf):
-    """MIS weight for emission picked up by a BSDF-sampled ray: power
-    heuristic of the previous vertex's solid-angle bsdf pdf against the
-    light-sampling pdf of this hit point. prev_pdf < 0 is the sentinel
+    """MIS weight for emission picked up by a forward-sampled ray:
+    power heuristic of the previous vertex's solid-angle forward pdf
+    (cosine, grid, or one-sample mixture — whatever _shade sampled
+    with) against the light-sampling pdf of this hit point.
+    prev_pdf < 0 is the sentinel
     for camera rays and delta/mirror bounces — light sampling never
     competes there, weight 1. Off-table emitters have poa = 0 ->
     pdf_light = 0 -> weight 1 (see build_nee_pack)."""
@@ -299,8 +317,37 @@ def _shade(hit, d, beta, live, draws, mode, cdfs, mis_frac, do_rr,
         active = live & ~is_mirror
         if nee_active is not None:
             active = active & nee_active
+
+        if mode == SAMPLING_BSDF:
+            def fwd_pdf(ld, cos_x):
+                return jnp.maximum(cos_x, 0.0) / PI
+        else:
+            # Guided modes: the forward strategy's density along the
+            # shadow direction is the grid density (pure-grid mode) or
+            # the one-sample mixture p_b*cos/pi + p_g*grid (MIS mode),
+            # falling back to cos/pi where the lane's grid is invalid —
+            # the SAME function whose value at the sampled direction
+            # the samplers return below, keeping the NEE/hit MIS
+            # weights complementary.
+            from ..ops.guiding import grid_pdf
+
+            if hit.guide is not None:
+                g_valid_ld = hit.guide[:, 9] > 0.0
+            else:
+                g_valid_ld = fetch_rows(cdfs.prim_table, hit.prim)[:, 9] > 0.0
+
+            def fwd_pdf(ld, cos_x):
+                pdf_c = jnp.maximum(cos_x, 0.0) / PI
+                pdf_g = grid_pdf(cdfs, hit.prim, ld, sn)
+                if mode == SAMPLING_MIS:
+                    p_b = jnp.clip(mis_frac, 0.01, 0.99)
+                    mix = p_b * pdf_c + (1.0 - p_b) * pdf_g
+                else:
+                    mix = pdf_g
+                return jnp.where(g_valid_ld, mix, pdf_c)
+
         contribution = contribution + _nee_term(
-            pack, occl_fn, hit, sn, beta, active, draws[:, -3:],
+            pack, occl_fn, hit, sn, beta, active, draws[:, -3:], fwd_pdf,
         )
 
     # Russian roulette (integrator.h:207-212)
@@ -316,18 +363,22 @@ def _shade(hit, d, beta, live, draws, mode, cdfs, mis_frac, do_rr,
 
     if mode == SAMPLING_BSDF:
         nd, w = _sample_bsdf(sn, draws[:, 0], draws[:, 1])
+        pdf_fwd = jnp.maximum(dot(nd, sn), 0.0) / PI
     else:
         if mode == SAMPLING_MIS:
-            nd_g, w_g, g_valid = _sample_mis(
+            nd_g, w_g, g_valid, pdf_g = _sample_mis(
                 cdfs, hit.prim, sn, draws, mis_frac, row16=hit.guide
             )
         else:
-            nd_g, w_g, g_valid = _sample_pure_grid(
+            nd_g, w_g, g_valid, pdf_g = _sample_pure_grid(
                 cdfs, hit.prim, sn, draws, row16=hit.guide
             )
         nd_c, w_c = _sample_bsdf(sn, draws[:, 0], draws[:, 1])
         nd = jnp.where(g_valid[:, None], nd_g, nd_c)
         w = jnp.where(g_valid, w_g, w_c)
+        pdf_fwd = jnp.where(
+            g_valid, pdf_g, jnp.maximum(dot(nd, sn), 0.0) / PI
+        )
 
     # Mirror lobe (additive capability): specular reflection, no pdf
     # weighting; tint already applied via beta *= albedo.
@@ -336,9 +387,7 @@ def _shade(hit, d, beta, live, draws, mode, cdfs, mis_frac, do_rr,
 
     beta = beta * w[:, None]
     o_next = hit.p + sn * RAY_EPS
-    pdf_b = jnp.where(
-        is_mirror, -1.0, jnp.maximum(dot(nd, sn), 0.0) / PI
-    )
+    pdf_b = jnp.where(is_mirror, -1.0, pdf_fwd)
     return o_next, nd, beta, live, contribution, pdf_b
 
 
@@ -563,13 +612,6 @@ def trace_wavefront(
     """
     if mode != SAMPLING_BSDF and cdfs is None:
         raise ValueError("guided sampling modes require a CDFPack")
-    if nee and mode != SAMPLING_BSDF:
-        raise ValueError(
-            "nee=True requires SAMPLING_BSDF: the hit-side MIS weight "
-            "uses the cosine pdf; combining NEE with guided sampling "
-            "needs the guided mixture pdf along the sampled direction "
-            "(not implemented)"
-        )
 
     queue_mode = pixel_x.ndim == 2
     k = pixel_x.shape[1] if queue_mode else 1

@@ -49,8 +49,10 @@ class RenderSettings:
     sort_rays: bool = False      # Morton-sort lanes per bounce (big scenes)
     nee: bool = False            # next-event estimation (additive; the
                                  # reference has none): per-vertex MIS-
-                                 # weighted direct-light sampling. BSDF
-                                 # mode only; estimator changes, so NOT
+                                 # weighted direct-light sampling, in
+                                 # any sampling mode (guided modes use
+                                 # the grid/mixture density in the MIS
+                                 # weights). Estimator changes, so NOT
                                  # golden-comparable with nee off
     balance_tile_sync: bool = False  # advance dealt lane queues one
                                  # whole 1024-lane kernel tile at a time

@@ -50,8 +50,9 @@ class Config:
     mis_bsdf_fraction: float = 0.5
     top_k: int = 0                   # topk mode: cells kept per primitive
     integrator: str = "pt"           # pt | radiosity (viz)
-    nee: bool = False                # next-event estimation (bsdf mode
-    #   only): MIS-weighted direct-light sampling at every path vertex.
+    nee: bool = False                # next-event estimation: MIS-
+    #   weighted direct-light sampling at every path vertex (composes
+    #   with guided sampling modes via the grid/mixture density).
     #   Additive capability — the reference pays full BSDF-sampling
     #   variance on its small ceiling emitter (integrator.h has no
     #   light sampling); different estimator, so not golden-comparable
