@@ -34,9 +34,12 @@ def render_mode(mode: str, spp: int, res: int, seed: int,
     from tpu_pathtracer.app import App
     from tpu_pathtracer.utils.config import Config
 
+    nee = mode.endswith("+nee")
+    if nee:
+        mode = mode[: -len("+nee")]
     cfg = Config(
         scene="cbox_quads", width=res, height=res, spp=spp, max_depth=5,
-        sampling_mode=mode, subdivision=subdivision,
+        sampling_mode=mode, subdivision=subdivision, nee=nee,
         radiosity_iterations=10, mis_bsdf_fraction=mis_fraction,
         mc_samples=64, ray_chunk=1 << 16,
         spp_per_pass=min(32, spp), seed=seed,
@@ -61,22 +64,37 @@ def main(argv=None):
     p.add_argument("--subdivision", type=int, default=1)
     p.add_argument("--mis-fraction", type=float, default=0.5)
     p.add_argument("--out", type=str, default="")
+    p.add_argument(
+        "--nee-ladder", action="store_true",
+        help="measure the NEE x guided composition: bsdf / mis with and "
+             "without next-event estimation at the given subdivision",
+    )
     args = p.parse_args(argv)
 
+    # The NEE ladder probes estimators ~7x below BSDF noise, so its ground
+    # truth is rendered WITH next-event estimation (same fixed point — all
+    # modes are unbiased; tests enforce the furnace mean) to push the GT
+    # noise floor well under the best candidate (~0.002 vs ~0.02).
+    gt_mode = "bsdf+nee" if args.nee_ladder else "bsdf"
+    gt_tag = "_nee" if args.nee_ladder else ""
     gt_path = os.path.join(
         os.path.dirname(__file__),
-        f"gt_cbox_{args.res}_{args.gt_spp}.npy",
+        f"gt_cbox_{args.res}_{args.gt_spp}{gt_tag}.npy",
     )
     if os.path.exists(gt_path):
         gt = np.load(gt_path)
         print(f"loaded ground truth {gt_path}")
     else:
-        print(f"rendering ground truth ({args.gt_spp} spp)...")
-        gt = render_mode("bsdf", args.gt_spp, args.res, seed=999)
+        print(f"rendering ground truth ({gt_mode}, {args.gt_spp} spp)...")
+        gt = render_mode(gt_mode, args.gt_spp, args.res, seed=999)
         np.save(gt_path, gt)
 
+    modes = ("bsdf", "radiosity", "mis")
+    if args.nee_ladder:
+        modes = ("bsdf", "bsdf+nee", "radiosity", "radiosity+nee",
+                 "mis", "mis+nee")
     results = {}
-    for mode in ("bsdf", "radiosity", "mis"):
+    for mode in modes:
         img = render_mode(mode, args.test_spp, args.res, seed=7,
                           subdivision=args.subdivision,
                           mis_fraction=args.mis_fraction)
@@ -87,6 +105,13 @@ def main(argv=None):
     if results["mis"] < results["bsdf"]:
         gain = results["bsdf"] / results["mis"]
         print(f"guided MIS reduces RMSE {gain:.2f}x vs BSDF at equal spp")
+    if args.nee_ladder:
+        for a, b in (("bsdf", "bsdf+nee"), ("mis", "mis+nee"),
+                     ("radiosity", "radiosity+nee"),
+                     ("bsdf", "mis+nee")):
+            if results[b] < results[a]:
+                print(f"{b} vs {a}: {results[a] / results[b]:.2f}x lower "
+                      "RMSE at equal spp")
     out = {
         "resolution": args.res,
         "gt_spp": args.gt_spp,
