@@ -206,3 +206,48 @@ class TestLegacyRadiosityDisplay:
             geom, rad, cam, jax.random.key(0), s))
         assert legacy.max() == 251
         assert current.max() == 255
+
+
+class TestCboxMaterialFidelity:
+    """The two bundled Cornell variants must carry the reference's exact
+    material values: cbox.obj uses the Blender palette (Khaki/BloodyRed/
+    DarkGreen, pure-emitter light) — /root/reference/scenes/cbox.mtl:1-42 —
+    while cbox_quads.obj uses white/red/green with a reflective light
+    (cbox_quads.mtl:3-17)."""
+
+    def test_tris_variant_blender_palette(self):
+        from tpu_pathtracer.scene.builtin import cornell_box
+
+        p = cornell_box("tris")
+        kds = {tuple(np.round(a.astype(np.float64), 6)) for a in p.albedo}
+        assert kds == {
+            (0.0, 0.0, 0.0),              # Light Kd=0 (pure emitter)
+            (0.8, 0.659341, 0.43956),     # Khaki
+            (0.445, 0.0, 0.0),            # BloodyRed
+            (0.0, 0.32, 0.0),             # DarkGreen
+        }
+        assert float(p.emission.max()) == 25.0
+
+    def test_quads_variant_palette(self):
+        from tpu_pathtracer.scene.builtin import cornell_box
+
+        p = cornell_box("quads")
+        kds = {tuple(np.round(a.astype(np.float64), 6)) for a in p.albedo}
+        assert kds == {
+            (0.8, 0.8, 0.8),
+            (0.8, 0.1, 0.1),
+            (0.1, 0.8, 0.1),
+        }
+
+    def test_bundled_obj_matches_builtin(self):
+        """scenes/cbox.obj on disk round-trips to the same materials."""
+        from tpu_pathtracer.scene.builtin import cornell_box
+        from tpu_pathtracer.scene.obj_loader import load_obj
+
+        path = os.path.join(
+            os.path.dirname(__file__), "..", "scenes", "cbox.obj"
+        )
+        disk = load_obj(path)
+        ref = cornell_box("tris")
+        np.testing.assert_allclose(disk.albedo, ref.albedo, atol=1e-6)
+        np.testing.assert_allclose(disk.emission, ref.emission, atol=1e-6)

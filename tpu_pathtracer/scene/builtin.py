@@ -30,6 +30,27 @@ LIGHT_KD = np.array([0.8, 0.8, 0.8], np.float32)
 LIGHT_KE = np.array([25.0, 25.0, 25.0], np.float32)
 NO_EMIT = np.zeros(3, np.float32)
 
+# Material palettes. The reference ships two Cornell variants with
+# DIFFERENT materials: cbox_quads.mtl uses white/red/green with an
+# emissive light that also reflects (Kd=0.8), while the Blender-exported
+# cbox.mtl (the tris variant) uses Khaki/BloodyRed/DarkGreen with a
+# pure-emitter light (Kd=0) — /root/reference/scenes/cbox.mtl:1-42 vs
+# cbox_quads.mtl:3-17. The light albedo difference changes multi-bounce
+# energy, so per-scene parity requires matching each variant exactly.
+_PALETTES = {
+    "quads": dict(
+        white=WHITE, red=RED, green=GREEN,
+        light_kd=LIGHT_KD, light_ke=LIGHT_KE,
+    ),
+    "blender": dict(
+        white=np.array([0.8, 0.659341, 0.439560], np.float32),   # Khaki
+        red=np.array([0.445, 0.0, 0.0], np.float32),             # BloodyRed
+        green=np.array([0.0, 0.32, 0.0], np.float32),            # DarkGreen
+        light_kd=np.zeros(3, np.float32),                        # Kd 0 0 0
+        light_ke=LIGHT_KE,
+    ),
+}
+
 
 def _quad(o, u, v):
     """Quad corners (v00, v10, v11, v01) from origin + two edges.
@@ -65,7 +86,9 @@ def _box_quads(center_xz, footprint, height, angle_deg):
 
 
 def cornell_box(
-    variant: str = "quads", mirror_tall_box: bool = False
+    variant: str = "quads",
+    mirror_tall_box: bool = False,
+    palette: str | None = None,
 ) -> PrimList:
     """Build the Cornell scene.
 
@@ -74,7 +97,14 @@ def cornell_box(
             (every quad pre-split into 2 triangles, like cbox.obj).
         mirror_tall_box: give the tall box a mirror material
             (BASELINE.json config #2 capability).
+        palette: "quads" | "blender" material set (see _PALETTES). Default
+            follows the reference: tris -> blender, quads -> quads.
     """
+    if palette is None:
+        palette = "blender" if variant == "tris" else "quads"
+    pal = _PALETTES[palette]
+    white, red, green = pal["white"], pal["red"], pal["green"]
+    light_kd, light_ke = pal["light_kd"], pal["light_ke"]
     corners: list[np.ndarray] = []
     albedo: list[np.ndarray] = []
     emission: list[np.ndarray] = []
@@ -90,26 +120,26 @@ def cornell_box(
     lw, ld, eps = 1.3, 1.05, 0.01
     add(
         _quad([-lw / 2, _Y - eps, -2.25], [0, 0, -ld], [lw, 0, 0]),
-        LIGHT_KD, LIGHT_KE,
+        light_kd, light_ke,
     )
     # Back wall (+z normal)
-    add(_quad([-_X, 0, -_Z], [2 * _X, 0, 0], [0, _Y, 0]), WHITE)
+    add(_quad([-_X, 0, -_Z], [2 * _X, 0, 0], [0, _Y, 0]), white)
     # Ceiling (-y normal)
-    add(_quad([-_X, _Y, -_Z], [2 * _X, 0, 0], [0, 0, _Z]), WHITE)
+    add(_quad([-_X, _Y, -_Z], [2 * _X, 0, 0], [0, 0, _Z]), white)
     # Floor (+y normal)
-    add(_quad([-_X, 0, 0], [2 * _X, 0, 0], [0, 0, -_Z]), WHITE)
+    add(_quad([-_X, 0, 0], [2 * _X, 0, 0], [0, 0, -_Z]), white)
     # Left wall (+x normal), red
-    add(_quad([-_X, 0, 0], [0, 0, -_Z], [0, _Y, 0]), RED)
+    add(_quad([-_X, 0, 0], [0, 0, -_Z], [0, _Y, 0]), red)
     # Right wall (-x normal), green
-    add(_quad([_X, 0, -_Z], [0, 0, _Z], [0, _Y, 0]), GREEN)
+    add(_quad([_X, 0, -_Z], [0, 0, _Z], [0, _Y, 0]), green)
 
     # Short box: front-right, slightly rotated.
     for q in _box_quads((0.95, -1.9), 1.55, 1.5, -16.5):
-        add(q, WHITE)
+        add(q, white)
     # Tall box: back-left.
     tall_kind = MATERIAL_MIRROR if mirror_tall_box else MATERIAL_DIFFUSE
     tall_kd = (
-        np.array([0.9, 0.9, 0.9], np.float32) if mirror_tall_box else WHITE
+        np.array([0.9, 0.9, 0.9], np.float32) if mirror_tall_box else white
     )
     for q in _box_quads((-1.15, -3.55), 1.6, 3.3, 17.0):
         add(q, tall_kd, kind=tall_kind)
