@@ -269,6 +269,7 @@ class App:
                     mc_samples=cfg.shooting_mc_samples,
                     occlusion_packs=occlusion_packs,
                     grid_refresh=cfg.grid_refresh,
+                    estimator=cfg.ff_estimator,
                 )
             else:
                 self.solution = solve_radiosity(
@@ -279,6 +280,7 @@ class App:
                     mc_samples=cfg.mc_samples,
                     filter_fn=filter_fn,
                     occlusion_packs=occlusion_packs,
+                    estimator=cfg.ff_estimator,
                 )
             jax.block_until_ready(self.solution.radiosity)
         log.info(

@@ -59,6 +59,15 @@ class Config:
 
     # Radiosity solver
     radiosity_solver: str = "auto"   # auto | gather | shooting
+    ff_estimator: str = "reference"  # reference | unbiased. "reference"
+    #   reproduces the reference's ratio-of-averages MC form-factor
+    #   combiner (form_factors.h:339-347: E[ci]E[cj]/E[d]^2), which is
+    #   ~30% biased LOW on large close patches (Jensen gap — measured
+    #   vs 400k-sample quadrature, docs/RESULTS.md "radiosity
+    #   forensics"). "unbiased" uses the per-sample double-area
+    #   estimator A_j/pi * mean[vis*ci*cj/d^2], which matches the
+    #   quadrature; prefer it when physical accuracy matters more than
+    #   bit-parity with the reference solver
     #   auto: gather (the reference's N^2 progressive refinement,
     #   application_state.h:688-777) up to 16,384 prims, matrix-free
     #   top-k shooting beyond — where the (N, N) matrix stops fitting
