@@ -116,6 +116,9 @@ def main(argv=None):
         "resolution": args.res,
         "gt_spp": args.gt_spp,
         "test_spp": args.test_spp,
+        "subdivision": args.subdivision,
+        "mis_fraction": args.mis_fraction,
+        "nee_ladder": bool(args.nee_ladder),
         "rel_rmse": results,
     }
     if args.out:

@@ -10,6 +10,12 @@ fusion bodies so the cost can be attributed to source-level operations.
 
 Usage: python benchmarks/mis_hlo_dump.py [--ops fusion.157,fusion.161]
        [--summary]   (per-op category sizes over the whole module)
+
+NOTE: fusion numbers are assigned per compile — the --ops default
+reflects ONE specific XLA build and must be re-read from a fresh trace
+(trace_profile.py) after any XLA upgrade or program change. When a named
+op is absent the script now lists the largest fusions instead of
+silently printing NOT FOUND.
 """
 
 from __future__ import annotations
@@ -66,6 +72,7 @@ def main(argv=None):
         f.write(txt)
     print(f"wrote {len(txt)} bytes to {args.out}")
 
+    missing = []
     for name in args.ops.split(","):
         name = name.strip()
         # fused computation body: %fused_computation.N or the call site
@@ -74,15 +81,21 @@ def main(argv=None):
         )
         if not m:
             print(f"\n=== {name}: NOT FOUND ===")
+            missing.append(name)
             continue
         line = m.group(0)
         print(f"\n=== {name} (call site) ===\n{line[:600]}")
         cm = re.search(r"calls=%?([\w.\-]+)", line)
         if cm:
             body = cm.group(1)
+            # Bodies are brace-delimited; the closing brace of a
+            # computation sits alone at column 0 (inner instruction
+            # lines are indented), so anchor it as ^} followed only by
+            # optional spaces/comments to end-of-line — a '}' embedded
+            # at the start of a wrapped operand line cannot match.
             bm = re.search(
-                rf"^%?{re.escape(body)} [^\n]*\{{(.*?)^\}}", txt,
-                re.MULTILINE | re.DOTALL,
+                rf"^%?{re.escape(body)} [^\n]*\{{(.*?)^\}} *(?://.*)?$",
+                txt, re.MULTILINE | re.DOTALL,
             )
             if bm:
                 lines = bm.group(1).strip("\n").split("\n")
@@ -91,6 +104,22 @@ def main(argv=None):
                     print(ln[:200])
                 if len(lines) > 80:
                     print(f"... (+{len(lines) - 80} more)")
+    if missing:
+        # Fusion numbering changed since the default --ops was recorded:
+        # fall back to the biggest fusions in THIS compile so the run
+        # still attributes cost somewhere useful.
+        sizes = {}
+        for bm in re.finditer(
+            r"^%?(\w*fused_computation[\w.\-]*) [^\n]*\{(.*?)^\} *$",
+            txt, re.MULTILINE | re.DOTALL,
+        ):
+            sizes[bm.group(1)] = bm.group(2).count("\n")
+        top = sorted(sizes.items(), key=lambda kv: -kv[1])[:10]
+        print(f"\n{len(missing)} requested op(s) absent in this compile "
+              "(fusion numbers are per-build). Largest fusion bodies "
+              "here:")
+        for n, sz in top:
+            print(f"  {n}: {sz} instrs")
     return 0
 
 
