@@ -478,6 +478,18 @@ def trace(
         else:
             hit = closest_hit(geom, o, d, t_min=RAY_EPS)
         live = alive & hit.valid
+        # Shadow rays are real traced work: count one per vertex that
+        # runs the NEE occlusion test (live diffuse vertices below the
+        # last-depth gate) so Mrays/s stays an honest cost metric when
+        # nee=True (VERDICT r3 #2). Kept out of depth_alive, which stays
+        # a pure live-lane count.
+        n_shadow = (
+            jnp.sum(
+                live & (hit.material != MATERIAL_MIRROR)
+                & (depth < max_depth - 1)
+            )
+            if nee else jnp.zeros((), jnp.int32)
+        )
 
         draws = rng.lane_uniforms(
             jax.random.fold_in(key, depth), lane_ids,
@@ -496,7 +508,7 @@ def trace(
         radiance = radiance + contrib
         if nee:
             prev_pdf = pdf_b
-        return (o, nd, beta, radiance, live, prev_pdf), n_alive
+        return (o, nd, beta, radiance, live, prev_pdf), (n_alive, n_shadow)
 
     init = (
         origins,
@@ -506,10 +518,13 @@ def trace(
         jnp.ones((b,), bool),
         jnp.full((b,), -1.0, jnp.float32),
     )
-    (_, _, _, radiance, _, _), per_depth = jax.lax.scan(
+    (_, _, _, radiance, _, _), (per_depth, per_shadow) = jax.lax.scan(
         bounce, init, jnp.arange(max_depth)
     )
-    stats = TraceStats(rays=jnp.sum(per_depth), depth_alive=per_depth)
+    stats = TraceStats(
+        rays=jnp.sum(per_depth) + jnp.sum(per_shadow),
+        depth_alive=per_depth,
+    )
     return radiance, stats
 
 
@@ -689,6 +704,14 @@ def trace_wavefront(
         hit = _intersect(geom, o, d, bvh, tri_pack, attr_pack, culled,
                          camera_mask=alive & (depth == 0))
         live = alive & hit.valid
+        if nee:
+            # One shadow ray per vertex that runs the NEE occlusion
+            # test (same gating as _shade's `active`): Mrays/s counts
+            # the real traced work (VERDICT r3 #2).
+            s["rays"] = s["rays"] + jnp.sum(
+                live & (hit.material != MATERIAL_MIRROR)
+                & (depth < max_depth - 1)
+            )
         # (sample, depth) counter: `done` counts STARTED samples, so the
         # in-flight sample index is done-1; depth here is pre-increment.
         draws = rng.lane_uniforms(
