@@ -32,6 +32,10 @@ def _bench_renderer(r, min_passes=3, min_seconds=6.0, max_passes=16):
         r.step(block=False)
         passes += 1
     r.sync()
+    # wall seconds per sample-per-pixel, for cross-config cost ratios
+    r.bench_wall_per_spp = r.render_seconds / (
+        passes * r.settings.spp_per_pass
+    )
     return r.mrays_per_sec
 
 
@@ -59,7 +63,8 @@ def main():
         width=1024, height=1024, max_depth=5, spp_per_pass=16,
         ray_chunk=1 << 16, wavefront=True,
     )
-    mrays = _bench_renderer(ProgressiveRenderer(geom, cam, settings, **packs))
+    r_head = ProgressiveRenderer(geom, cam, settings, **packs)
+    mrays = _bench_renderer(r_head)
 
     # VPU utilization of the headline run: the wavefront loop tests every
     # ray against all scene triangles in-kernel; the affine t/u/v test is
@@ -71,6 +76,37 @@ def main():
     extra["flops_util_headline"] = round(
         mrays * 1e6 * flops_per_ray / 7.7e12, 4
     )
+
+    # --- on-chip backend determinism certification (VERDICT r3 #8) ---
+    # The bitwise-per-platform invariant is CPU-enforced by goldens/;
+    # certify it on the real chip every bench run: one small render must
+    # be bit-identical across the brute (XLA), pallas (VMEM) and culled
+    # (HBM DMA) intersection backends. FAILS THE BENCH on divergence.
+    import numpy as np
+
+    def _small_film(**backend_kw):
+        s_d = RenderSettings(
+            width=256, height=256, max_depth=5, spp_per_pass=4,
+            ray_chunk=1 << 16, wavefront=True,
+        )
+        r_d = ProgressiveRenderer(geom, cam, s_d, **backend_kw)
+        r_d.step()
+        return np.asarray(r_d.film.accum)
+
+    film_brute = _small_film()
+    film_pallas = _small_film(**packs)
+    film_culled = _small_film(culled=CulledScene(geom))
+    if not (
+        np.array_equal(film_brute, film_pallas)
+        and np.array_equal(film_brute, film_culled)
+    ):
+        d_p = float(np.abs(film_brute - film_pallas).max())
+        d_c = float(np.abs(film_brute - film_culled).max())
+        raise AssertionError(
+            "on-chip backend determinism violated: "
+            f"|brute-pallas|max={d_p:g} |brute-culled|max={d_c:g}"
+        )
+    extra["onchip_backend_determinism"] = "bitwise-ok"
 
     # --- config #3: full progressive accumulation, 1024^2 @ 1024 spp ---
     # End-to-end WALL seconds (compile excluded via the warmup pass whose
@@ -185,6 +221,24 @@ def main():
     except Exception as e:  # noqa: BLE001
         extra["shooting_sub6_s_per_step"] = f"error: {e}"
 
+    # --- next-event estimation COST: config #1 with nee=True ---
+    # Shadow rays are counted in total_rays (integrator body), so this
+    # Mrays/s is work-honest; nee_wall_per_spp_ratio is the per-spp wall
+    # cost multiplier vs the headline (the quality side is measured by
+    # eval_rmse.py --nee-ladder: 2.97x lower RMSE at equal spp).
+    try:
+        s_nee = RenderSettings(
+            width=1024, height=1024, max_depth=5, spp_per_pass=16,
+            ray_chunk=1 << 16, wavefront=True, nee=True,
+        )
+        r_nee = ProgressiveRenderer(geom, cam, s_nee, **packs)
+        extra["cbox1024_nee"] = round(_bench_renderer(r_nee), 2)
+        extra["nee_wall_per_spp_ratio"] = round(
+            r_nee.bench_wall_per_spp / r_head.bench_wall_per_spp, 2
+        )
+    except Exception as e:  # noqa: BLE001
+        extra["cbox1024_nee"] = f"error: {e}"
+
     # --- next-event estimation quality: RMSE gain at equal spp ---
     # Additive estimator capability (reference integrator.h samples only
     # the BSDF): cbox 128^2 depth-5, 16 spp, both estimators against a
@@ -233,13 +287,23 @@ def main():
                                # occupancy unbalanced); film is bitwise
                                # identical either way
         )
+        cs_s = CulledScene(geom_s)
+        r_s = ProgressiveRenderer(geom_s, cam_s, s4, culled=cs_s)
         extra["stress100k"] = round(
-            _bench_renderer(
-                ProgressiveRenderer(geom_s, cam_s, s4,
-                                    culled=CulledScene(geom_s)),
-                min_seconds=3.0, max_passes=8,
-            ),
-            2,
+            _bench_renderer(r_s, min_seconds=3.0, max_passes=8), 2
+        )
+        # NEE wall cost on the open 101k-tri scene (config #4): shadow
+        # rays run the grouped culled any-hit; counted in Mrays.
+        import dataclasses as _dc
+
+        r_sn = ProgressiveRenderer(
+            geom_s, cam_s, _dc.replace(s4, nee=True), culled=cs_s
+        )
+        extra["stress100k_nee"] = round(
+            _bench_renderer(r_sn, min_seconds=3.0, max_passes=8), 2
+        )
+        extra["stress100k_nee_wall_per_spp_ratio"] = round(
+            r_sn.bench_wall_per_spp / r_s.bench_wall_per_spp, 2
         )
     except Exception as e:  # noqa: BLE001
         extra["stress100k"] = f"error: {e}"
