@@ -178,6 +178,129 @@ class TestViewerSet:
         assert state.app._renderer is None  # accumulation restarted
 
 
+class TestViewerEndpoints:
+    """HTTP-level coverage of the interactive control surface (VERDICT
+    r3 #3: every reference Controls-window action mouse-reachable).
+    A real ThreadingHTTPServer on an ephemeral port, no render thread."""
+
+    @pytest.fixture()
+    def server(self):
+        import threading
+        from http.server import ThreadingHTTPServer
+
+        from tpu_pathtracer.viewer.server import ViewerState, make_handler
+
+        state = ViewerState.__new__(ViewerState)
+        state.app = App(small_cfg(sampling_mode="mis", mc_samples=8,
+                                  radiosity_iterations=3))
+        state.app.load_scene()
+        state.lock = threading.Lock()
+        srv = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(state))
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        yield state, srv.server_address[1]
+        srv.shutdown()
+
+    def _get(self, port, path):
+        import urllib.request
+
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}{path}", timeout=30
+        ) as r:
+            return r.status, r.read()
+
+    def test_page_has_every_controls_widget(self, server):
+        _, port = server
+        status, body = self._get(port, "/")
+        assert status == 200
+        page = body.decode()
+        # every reference Controls-window action (ui_windows.h:73-246)
+        for widget in (
+            'id="width"', 'id="height"', 'id="spp"', 'id="scene"',
+            'id="convert_quads"', 'id="sampling_mode"',
+            'id="mis_bsdf_fraction"', 'id="integrator"',
+            'id="radiosity_iterations"', 'id="use_monte_carlo"',
+            'id="mc_samples"', 'id="use_bilateral"',
+            'id="sigma_spatial"', 'id="sigma_range"',
+            "Apply Filter", "Use Raw CDFs", "Calculate Radiosity",
+            "Save PNG", 'id="subdivision"', 'id="show_grid"',
+            # interactions (callbacks.h:95-150)
+            "mousedown", "wheel", "/pick?u=", "/orbit?yaw=",
+            # grid + profiler windows
+            'id="heatmap"', 'id="prof_enable"', "Reset Stats",
+        ):
+            assert widget in page, f"missing widget: {widget}"
+
+    def test_state_json(self, server):
+        import json as _json
+
+        state, port = server
+        state.app.prepare()
+        status, body = self._get(port, "/state?prim=1")
+        assert status == 200
+        s = _json.loads(body)
+        assert s["scene"]["num_prims"] == 16
+        assert s["config"]["sampling_mode"] == "mis"
+        assert s["grid"]["source"] == "RAW Radiosity Grid"
+        assert s["grid"]["non_zero"] >= 0
+        assert "fps" in s["profiler"]
+
+    def test_filter_and_raw_cdf_buttons(self, server):
+        state, port = server
+        state.app.prepare()
+        status, body = self._get(port, "/filter")
+        assert status == 200 and b"filtered" in body
+        assert state.app.config.cdf_source == "filtered_radiosity"
+        # grid stats now report the filtered source, like the reference
+        # Grid window's "Source: FILTERED PDF" label
+        assert state.grid_stats(0)["source"] == "FILTERED PDF"
+        status, body = self._get(port, "/rawcdfs")
+        assert status == 200 and b"raw" in body
+        assert state.app.config.cdf_source == "radiosity"
+
+    def test_pick_returns_json(self, server):
+        import json as _json
+
+        state, port = server
+        status, body = self._get(port, "/pick?u=0.5&v=0.5")
+        assert status == 200
+        assert isinstance(_json.loads(body)["prim"], int)
+
+    def test_profiler_reset_and_enable(self, server):
+        state, port = server
+        state.app.profiler.add_stage("x").record(0.01)
+        self._get(port, "/profiler/reset")
+        assert not state.app.profiler.stages
+        self._get(port, "/profiler/enable?on=0")
+        assert state.app.profiler.enabled is False
+        with state.app.profiler.stage("y"):
+            pass
+        assert "y" not in state.app.profiler.stages
+        self._get(port, "/profiler/enable?on=1")
+        assert state.app.profiler.enabled is True
+
+    def test_solver_key_invalidates_solution(self, server):
+        """Changing a solver knob re-solves on next prepare (the
+        reference re-runs the solver on slider change,
+        ui_windows.h:140-147)."""
+        state, port = server
+        state.app.prepare()
+        sol = state.app.solution
+        assert sol is not None
+        self._get(port, "/set?mc_samples=16")
+        assert state.app.solution is None
+        state.app.prepare()
+        assert state.app.solution is not None
+
+    def test_camera_key_updates_aspect_without_orbit_reset(self, server):
+        state, port = server
+        state.app.orbit(25.0, 0.0, 0.0)
+        yaw = state.app.camera_ctrl.yaw
+        self._get(port, "/set?width=64")
+        assert state.app.camera_ctrl.aspect == pytest.approx(64 / 32)
+        assert state.app.camera_ctrl.yaw == yaw
+
+
 class TestLegacyRadiosityDisplay:
     def test_legacy_display_light_is_251(self):
         """The reference's published sweep PNGs show the light at

@@ -55,6 +55,15 @@ class Profiler:
         self.stages: dict[str, Stage] = {}
         self.frame_history: deque = deque(maxlen=HISTORY)
         self._frame_start: float | None = None
+        # Profiler-window toggles (ui_windows.h:372-380: "Enable
+        # Profiling" checkbox + "Reset Stats" button).
+        self.enabled = True
+
+    def reset(self) -> None:
+        """Profiler::reset — drop all stage + frame history."""
+        self.stages.clear()
+        self.frame_history.clear()
+        self._frame_start = None
 
     def add_stage(self, name: str) -> Stage:
         if name not in self.stages:
@@ -68,6 +77,9 @@ class Profiler:
         attributed to the stage that launched it."""
         import jax
 
+        if not self.enabled:
+            yield None
+            return
         st = self.add_stage(name)
         t0 = time.perf_counter()
         try:
