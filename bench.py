@@ -178,10 +178,20 @@ def main():
         from tpu_pathtracer.scene.mesh import subdivide
 
         geom_r = subdivide(cornell_box("quads"), 5).build()
+        cs5 = CulledScene(geom_r)
+        # 1-iteration warmup compiles every program in the solve; the
+        # timed 8-iteration run then measures EXECUTION, not compile.
+        # benchmarks/sub5_variance.py: cold 34.1 s (43.7 in round 3 on
+        # a partial cache miss) vs warm 22.3 +/- 0.05 s.
+        warm = solve_radiosity(
+            geom_r, jax.random.key(1), num_iterations=1,
+            mc_samples=2, occlusion_packs=cs5,
+        )
+        jax.block_until_ready(warm.radiosity)
         t0 = time.time()
         sol5 = solve_radiosity(
             geom_r, jax.random.key(12345), num_iterations=8,
-            mc_samples=2, occlusion_packs=CulledScene(geom_r),
+            mc_samples=2, occlusion_packs=cs5,
         )
         jax.block_until_ready(sol5.radiosity)
         extra["radiosity_sub5_solve_s"] = round(time.time() - t0, 1)
