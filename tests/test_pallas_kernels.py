@@ -499,6 +499,90 @@ class TestGroupedPrepass:
             assert (gm[tile, c, word] >> bit) & 1, (i, tile, g, c)
 
 
+class TestGatedPrepass:
+    """Two-level schedule (128-cluster block gate) for HBM-scale
+    scenes: the gated prepass must be BITWISE identical to the dense
+    pass — gate=0 (no ray of the tile hits the block's union AABB)
+    implies every member cluster's exact slab test misses too, by
+    float monotonicity of the slab under box inclusion."""
+
+    def _comps(self, o, d, n):
+        tiles = n // ip.RAYS_PER_TILE
+
+        def tcomp(x):
+            return (
+                x.reshape(tiles, ip.GROUPS_PER_TILE, ip.GROUP)
+                .transpose(0, 2, 1)
+                .reshape(tiles * ip.GROUP, ip.RAY_TILE)
+            )
+
+        return [tcomp(o[:, 0]), tcomp(o[:, 1]), tcomp(o[:, 2]),
+                tcomp(d[:, 0]), tcomp(d[:, 1]), tcomp(d[:, 2])], tcomp
+
+    @pytest.mark.parametrize("with_maxd", [False, True])
+    def test_gated_prepass_bitwise(self, monkeypatch, with_maxd):
+        # clusters along a line (median-split-like order): block unions
+        # are disjoint, so the gate actually fires for localized rays
+        rng = np.random.default_rng(1)
+        c = 280                           # 3 blocks
+        ctr = np.stack([np.linspace(0, 400, c),
+                        rng.uniform(-5, 5, c),
+                        rng.uniform(-5, 5, c)], -1).astype(np.float32)
+        half = rng.uniform(0.1, 1.5, (c, 3)).astype(np.float32)
+        cmin = jnp.asarray(ctr - half)
+        cmax = jnp.asarray(ctr + half)
+        n = ip.ray_batch_multiple()
+        key = jax.random.key(5)
+        ko, kd = jax.random.split(key)
+        o = jax.random.uniform(ko, (n, 3), minval=-10.0, maxval=60.0)
+        d = jax.random.normal(kd, (n, 3))
+        d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+        comps, tcomp = self._comps(o, d, n)
+        maxd = tcomp(jnp.full((n,), 30.0)) if with_maxd else None
+
+        dense = ip._prepass_groups(cmin, cmax, comps, 1e-4, n,
+                                   maxd=maxd)
+        monkeypatch.setattr(ip, "_GATE_MIN_BLOCKS", 1)
+        gated = ip._prepass_groups(cmin, cmax, comps, 1e-4, n,
+                                   maxd=maxd)
+        gate = ip._block_gate(cmin, cmax, comps, 1e-4,
+                              n // ip.RAYS_PER_TILE, c, dense[4],
+                              maxd=maxd)
+        # the scenario must exercise BOTH branches of the gate
+        assert 0.0 < float(gate.mean()) < 1.0
+        for name, a, b in zip(("ghit", "tn", "texit"), dense[:3],
+                              gated[:3]):
+            np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b), err_msg=name
+            )
+
+    def test_gate_conservative_vs_member_hits(self):
+        """gate == 0 must imply the dense prepass found NO group hit
+        in that block (the monotonicity claim, checked directly)."""
+        rng = np.random.default_rng(7)
+        c = 300
+        ctr = rng.uniform(-50, 50, (c, 3)).astype(np.float32)
+        half = rng.uniform(0.05, 2.0, (c, 3)).astype(np.float32)
+        cmin = jnp.asarray(ctr - half)
+        cmax = jnp.asarray(ctr + half)
+        n = ip.ray_batch_multiple()
+        ko, kd = jax.random.split(jax.random.key(9))
+        o = jax.random.uniform(ko, (n, 3), minval=-80.0, maxval=80.0)
+        d = jax.random.normal(kd, (n, 3))
+        d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+        comps, _ = self._comps(o, d, n)
+        ghit, _, _, _, cpad = ip._prepass_groups(cmin, cmax, comps,
+                                                 1e-4, n)
+        gate = np.asarray(ip._block_gate(
+            cmin, cmax, comps, 1e-4, n // ip.RAYS_PER_TILE, c, cpad
+        ))
+        gh = np.asarray(ghit).reshape(
+            ghit.shape[0], cpad // ip.TRI_CHUNK, ip.TRI_CHUNK, ip.GROUP
+        )
+        blocked_any = gh.sum(axis=(2, 3)) > 0
+        assert not np.any(blocked_any & (gate == 0))
+
+
 class TestGroupedAnyHit:
     """Grouped culled any-hit (form-factor visibility backend): must
     agree with the brute-force occluded oracle, including the segment

@@ -1078,6 +1078,18 @@ _BUCKET_SHIFT = _ID_BITS + DMA_ROWS
 _BUCKETS = 1 << (30 - _BUCKET_SHIFT)
 _MAX_CLUSTERS = 1 << _ID_BITS
 
+# The GROUPED kernels carry their masks out-of-key, so the 8 row-mask
+# bits of the row-kernel key layout are free: cluster ids get 21 bits
+# (2M clusters = 268M triangles in ONE pack) and the bucket field keeps
+# the exact same shift/width as the row layout. The schedule no longer
+# fits SMEM whole at that scale (1 MB cap measured on this chip) — the
+# walk streams it from HBM in _SCHED_CHUNK-entry ring slots instead.
+_GID_BITS = _BUCKET_SHIFT           # 21
+_GMAX_CLUSTERS = 1 << _GID_BITS
+_SCHED_CHUNK = 1024                 # schedule entries per SMEM ring slot
+                                    # (power of two: the per-visit
+                                    # position->slot math must be shifts)
+
 
 def _kernel_prepass(cb_ref, ox, oy, oz, ix, iy, iz, scal_ref, out_ref,
                     texit_ref, tbest_ref, cbest_ref):
@@ -1873,22 +1885,12 @@ _GROUPED_EARLY_OUT = False  # group-level front-to-back exit: measured NET-NEGAT
                             # kept as a flag for low-incidence scenes
 
 
-def _kernel_prepass_groups(cb_ref, ox, oy, oz, ix, iy, iz, scal_ref,
-                           ghit_ref, tn_ref, texit_ref, md_ref=None):
-    """Group-granular cluster visibility pre-pass.
+def _prepass_block_vals(cb_ref, ox, oy, oz, ix, iy, iz, t_min, n_real,
+                        j, md_ref):
+    """One (tile, 128-cluster block) prepass step's values.
 
-    Transposed ray layout: (8, 128) blocks with lane = group, sublane =
-    ray slot. One grid step = (tile i) x (128-cluster block j); per slot
-    the slab test is a dense (128 clusters, 128 groups) VPU op,
-    OR-accumulated over the 8 slots. Outputs per (tile, cluster): group
-    hit flags (128 lanes) and the tile-min entry distance.
-
-    With md_ref (per-ray segment length, any-hit mode) clusters whose
-    slab entry lies beyond the ray's segment are culled: every triangle
-    of the cluster then has t >= tn > maxd, outside the any-hit window."""
-    t_min = scal_ref[0]
-    n_real = scal_ref[1]
-    j = pl.program_id(1)
+    Returns (ghit (128, 8) packed halfword group masks, tn (8, 128)
+    per-cluster tile-min entry, ex (8, 128) per-ray slab-exit bound)."""
     blk = jnp.transpose(cb_ref[...])          # (128 clusters, 8)
     cvalid = (
         jax.lax.broadcasted_iota(jnp.int32, (TRI_CHUNK, 1), 0)
@@ -1930,14 +1932,6 @@ def _kernel_prepass_groups(cb_ref, ox, oy, oz, ix, iy, iz, scal_ref,
                     axis=0, keepdims=True)
         )                                     # (1, 128)
     ex = jnp.concatenate(exits8, axis=0)      # (8, 128)
-
-    @pl.when(j == 0)
-    def _():
-        texit_ref[0] = jnp.maximum(ex, t_min)
-
-    @pl.when(j > 0)
-    def _():
-        texit_ref[0] = jnp.maximum(texit_ref[0], ex)
     # Pack the 128 group-hit lanes into 8 x 16-bit halfword sums
     # (distinct powers 2^0..2^15 sum exactly in f32; a full 32-bit word
     # would not) — shrinks the HBM output 16x and removes the XLA-side
@@ -1959,10 +1953,79 @@ def _kernel_prepass_groups(cb_ref, ox, oy, oz, ix, iy, iz, scal_ref,
                 axis=1, keepdims=True,
             )
         )
-    ghit_ref[0] = jnp.concatenate(halves, axis=1)   # (128, 8)
-    tn_ref[0] = jnp.broadcast_to(
+    ghit = jnp.concatenate(halves, axis=1)    # (128, 8)
+    tn = jnp.broadcast_to(
         jnp.transpose(tn_min), (GROUP, TRI_CHUNK)
     )
+    return ghit, tn, ex
+
+
+def _kernel_prepass_groups(cb_ref, ox, oy, oz, ix, iy, iz, scal_ref,
+                           ghit_ref, tn_ref, texit_ref, md_ref=None,
+                           gate_ref=None):
+    """Group-granular cluster visibility pre-pass.
+
+    Transposed ray layout: (8, 128) blocks with lane = group, sublane =
+    ray slot. One grid step = (tile i) x (128-cluster block j); per slot
+    the slab test is a dense (128 clusters, 128 groups) VPU op,
+    OR-accumulated over the 8 slots. Outputs per (tile, cluster): group
+    hit flags (128 lanes) and the tile-min entry distance.
+
+    With md_ref (per-ray segment length, any-hit mode) clusters whose
+    slab entry lies beyond the ray's segment are culled: every triangle
+    of the cluster then has t >= tn > maxd, outside the any-hit window.
+
+    With gate_ref ((tiles, nblocks) i32 in SMEM — the two-level
+    schedule for HBM-scale scenes) a whole 128-cluster block is SKIPPED
+    when no ray of the tile hits the block's union AABB. Slab hits are
+    float-monotone under box inclusion (_part_may_hit's argument), so
+    gate == 0 implies every member cluster's exact test also misses —
+    the skipped block's outputs (zero masks, inf entries, no exit
+    contribution) are bitwise what the dense pass would have written."""
+    t_min = scal_ref[0]
+    n_real = scal_ref[1]
+    j = pl.program_id(1)
+    if gate_ref is None:
+        ghit, tn, ex = _prepass_block_vals(
+            cb_ref, ox, oy, oz, ix, iy, iz, t_min, n_real, j, md_ref
+        )
+
+        @pl.when(j == 0)
+        def _():
+            texit_ref[0] = jnp.maximum(ex, t_min)
+
+        @pl.when(j > 0)
+        def _():
+            texit_ref[0] = jnp.maximum(texit_ref[0], ex)
+
+        ghit_ref[0] = ghit
+        tn_ref[0] = tn
+        return
+    i = pl.program_id(0)
+
+    @pl.when(j == 0)
+    def _():
+        texit_ref[0] = jnp.full(
+            (GROUP, RAY_TILE), t_min, jnp.float32
+        )
+
+    gate = gate_ref[i, j]
+
+    @pl.when(gate != 0)
+    def _():
+        ghit, tn, ex = _prepass_block_vals(
+            cb_ref, ox, oy, oz, ix, iy, iz, t_min, n_real, j, md_ref
+        )
+        texit_ref[0] = jnp.maximum(texit_ref[0], ex)
+        ghit_ref[0] = ghit
+        tn_ref[0] = tn
+
+    @pl.when(gate == 0)
+    def _():
+        ghit_ref[0] = jnp.zeros((TRI_CHUNK, GROUP), jnp.float32)
+        tn_ref[0] = jnp.full(
+            (GROUP, TRI_CHUNK), jnp.inf, jnp.float32
+        )
 
 
 def _kernel_prepass_groups_seg(cb_ref, ox, oy, oz, ix, iy, iz, md,
@@ -1970,6 +2033,77 @@ def _kernel_prepass_groups_seg(cb_ref, ox, oy, oz, ix, iy, iz, md,
     """Segment-bounded (any-hit) variant: extra per-ray maxd operand."""
     _kernel_prepass_groups(cb_ref, ox, oy, oz, ix, iy, iz, scal_ref,
                            ghit_ref, tn_ref, texit_ref, md_ref=md)
+
+
+def _kernel_prepass_groups_gate(cb_ref, ox, oy, oz, ix, iy, iz, gate,
+                                scal_ref, ghit_ref, tn_ref, texit_ref):
+    """Block-gated variant (two-level schedule, closest-hit)."""
+    _kernel_prepass_groups(cb_ref, ox, oy, oz, ix, iy, iz, scal_ref,
+                           ghit_ref, tn_ref, texit_ref, gate_ref=gate)
+
+
+def _kernel_prepass_groups_seg_gate(cb_ref, ox, oy, oz, ix, iy, iz, md,
+                                    gate, scal_ref, ghit_ref, tn_ref,
+                                    texit_ref):
+    """Block-gated + segment-bounded variant (any-hit at scale)."""
+    _kernel_prepass_groups(cb_ref, ox, oy, oz, ix, iy, iz, scal_ref,
+                           ghit_ref, tn_ref, texit_ref, md_ref=md,
+                           gate_ref=gate)
+
+
+_GATE_MIN_BLOCKS = 16   # block-gate the prepass only past 2048 clusters
+                        # (262k tris): below that, bounce-mixture tiles
+                        # touch ~every 128-cluster block (99.6% measured
+                        # on stress100k) and the gate is pure overhead;
+                        # above, per-tile incidence is a small fraction
+                        # of the blocks and the dense slab pass is the
+                        # dominant device cost (measured 2.1M scene)
+
+
+def _block_gate(cluster_min, cluster_max, comps, t_min, tiles, c,
+                cpad, maxd=None):
+    """(tiles, nblocks) i32: does ANY ray of tile i hit the union AABB
+    of 128-cluster block j?  Conservative (slab hits are float-monotone
+    under box inclusion), so the gated prepass is bitwise-exact. Pure
+    XLA: one fused (rays, nblocks) slab test + a per-tile OR — ~128x
+    less arithmetic than the cluster-granular pass it gates."""
+    nblk = cpad // TRI_CHUNK
+    pad = cpad - c
+    bmin = jnp.min(
+        jnp.pad(cluster_min, ((0, pad), (0, 0)),
+                constant_values=jnp.inf).reshape(nblk, TRI_CHUNK, 3),
+        axis=1,
+    )                                          # (nblk, 3)
+    bmax = jnp.max(
+        jnp.pad(cluster_max, ((0, pad), (0, 0)),
+                constant_values=-jnp.inf).reshape(nblk, TRI_CHUNK, 3),
+        axis=1,
+    )
+    ox, oy, oz, dx, dy, dz = comps[:6]
+    safe = lambda a: jnp.where(jnp.abs(a) > 1e-8, a, 1e-8)
+    o3 = [x.reshape(-1)[:, None] for x in (ox, oy, oz)]
+    i3 = [1.0 / safe(x.reshape(-1))[:, None] for x in (dx, dy, dz)]
+    tn = jnp.full((tiles * RAYS_PER_TILE, nblk), t_min, jnp.float32)
+    tf = jnp.full((tiles * RAYS_PER_TILE, nblk), jnp.inf, jnp.float32)
+    for ax in range(3):
+        lo = (bmin[None, :, ax] - o3[ax]) * i3[ax]
+        hi = (bmax[None, :, ax] - o3[ax]) * i3[ax]
+        tn = jnp.maximum(tn, jnp.minimum(lo, hi))
+        tf = jnp.minimum(tf, jnp.maximum(lo, hi))
+    hit = (tf >= tn) & (tf > 0.0)
+    if maxd is not None:
+        hit = hit & (tn <= maxd.reshape(-1)[:, None])
+    # fully-padded blocks (bmin=+inf, bmax=-inf) slab to a spurious
+    # always-hit (tn=t_min, tf=+inf); the kernel's cvalid mask writes
+    # zeros for them either way, but gate them off to skip the work
+    real = (
+        jnp.arange(nblk, dtype=jnp.int32) * TRI_CHUNK < c
+    )
+    gate = (
+        jnp.any(hit.reshape(tiles, RAYS_PER_TILE, nblk), axis=1)
+        & real[None, :]
+    )
+    return gate.astype(jnp.int32)
 
 
 def _prepass_groups(cluster_min, cluster_max, comps, t_min, b,
@@ -1999,20 +2133,32 @@ def _prepass_groups(cluster_min, cluster_max, comps, t_min, b,
             jnp.zeros((2, cpad), jnp.float32),
         ]
     )                                         # (8, Cpad)
+    gated = cpad // TRI_CHUNK >= _GATE_MIN_BLOCKS
+    gate_ops = ()
+    if gated:
+        gate_ops = (_block_gate(
+            cluster_min, cluster_max, comps, t_min, tiles, c, cpad,
+            maxd=maxd,
+        ),)
     ray_spec = pl.BlockSpec(
         (GROUP, RAY_TILE), lambda i, j: (i, 0),
         memory_space=pltpu.VMEM,
     )
+    kernel = {
+        (False, False): _kernel_prepass_groups,
+        (True, False): _kernel_prepass_groups_seg,
+        (False, True): _kernel_prepass_groups_gate,
+        (True, True): _kernel_prepass_groups_seg_gate,
+    }[(maxd is not None, gated)]
     ghit, tn, texit = _pallas_call(
-        _kernel_prepass_groups if maxd is None
-        else _kernel_prepass_groups_seg,
+        kernel,
         grid=(tiles, cpad // TRI_CHUNK),
         in_specs=[
             pl.BlockSpec((8, TRI_CHUNK), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM)
         ]
         + [ray_spec] * (6 if maxd is None else 7)
-        + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)] * (2 if gated else 1),
         out_specs=[
             pl.BlockSpec((1, TRI_CHUNK, GROUP),
                          lambda i, j: (i, j, 0),
@@ -2032,6 +2178,7 @@ def _prepass_groups(cluster_min, cluster_max, comps, t_min, b,
     )(
         cb, ox, oy, oz, ix, iy, iz,
         *(() if maxd is None else (maxd,)),
+        *gate_ops,
         jnp.stack([
             jnp.asarray(t_min, jnp.float32),
             jnp.asarray(float(c), jnp.float32),
