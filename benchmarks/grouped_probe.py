@@ -72,9 +72,10 @@ def main():
         active = (k & (1 << 30)) == 0
         bits = np.zeros(gm.shape[:2], np.int64)
         for w in range(4):
+            # gmask is (tiles, 4, cpad) in SCHEDULE order (round 4)
             bits += np.vectorize(
                 lambda v: bin(v).count("1")
-            )(gm[:, :, w]).astype(np.int64)
+            )(gm[:, w, :]).astype(np.int64)
         pairs = int(bits[active].sum())
         print(f"{tag}: glue+prepass {ms_glue:.2f} ms, full "
               f"{ms_full:.2f} ms -> kernel ~{ms_full-ms_glue:.2f} ms; "

@@ -40,6 +40,10 @@ def main():
     ap.add_argument("--n", type=int, default=0,
                     help="sphere tessellation (default: 709 for 1m, "
                          "1025 for 2m)")
+    ap.add_argument("--ab-parts", action="store_true",
+                    help="ALSO time a 3-way partitioned CulledScene in "
+                         "the same process (controls for environment "
+                         "drift between runs)")
     args = ap.parse_args()
     n_tess = args.n or {"1m": 709, "2m": 1025}.get(args.tag, 709)
 
@@ -121,6 +125,25 @@ def main():
         "mrays_per_sec": round(rate, 2),
         "settings": f"{args.res}^2@{args.spp}spp depth{args.depth}",
     }
+
+    if args.ab_parts:
+        # same-process A/B: a forced 3-part scene vs the single pack,
+        # immune to tunnel/compile-service drift between runs
+        cap = (geom.num_tris // 3 // 128 + 1) * 128
+        cs_p = CulledScene(geom, max_tris_per_part=cap)
+        r_p = ProgressiveRenderer(geom, cam, s, culled=cs_p)
+        r_p.step()
+        r_p.reset_stats()
+        t0 = time.time()
+        passes = 0
+        while passes < 3 or (time.time() - t0 < 8.0 and passes < 12):
+            r_p.step(block=False)
+            passes += 1
+        r_p.sync()
+        result["mrays_per_sec_3part"] = round(r_p.mrays_per_sec, 2)
+        print(f"A/B 3-part ({len(cs_p.parts)} parts): "
+              f"{result['mrays_per_sec_3part']} Mrays/s "
+              f"vs single-pack {result['mrays_per_sec']}")
     with open(os.path.join(HERE, f"stress{args.tag}_result.json"),
               "w") as f:
         json.dump(result, f, indent=1)

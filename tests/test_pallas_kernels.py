@@ -442,11 +442,26 @@ class TestScheduleKeyPacking:
         # 1M-triangle scenes fit (the stress1m benchmark's class)
         assert ip._MAX_CLUSTERS * ip.TRI_CHUNK >= 1_000_000
 
+    def test_grouped_fields_fit_int32(self):
+        """The grouped key widens the id field into the row-mask bits
+        (masks ride out-of-key): 21 id bits + the same bucket field,
+        below the inactive bit."""
+        assert ip._GID_BITS == ip._BUCKET_SHIFT   # bucket field abuts id
+        id_max = ip._GMAX_CLUSTERS - 1
+        bucket_max = ip._BUCKETS - 1
+        key = (bucket_max << ip._BUCKET_SHIFT) | id_max
+        assert key < (1 << 30)
+        assert key & (ip._GMAX_CLUSTERS - 1) == id_max
+        assert (key >> ip._BUCKET_SHIFT) & (ip._BUCKETS - 1) \
+            == bucket_max
+        # one grouped pack holds the 2.1M-triangle stress scene whole
+        assert ip._GMAX_CLUSTERS * ip.TRI_CHUNK >= 2_100_000
+
     def test_prepass_rejects_oversize(self):
         import pytest
 
-        cmin = jnp.zeros((ip._MAX_CLUSTERS + 1, 3), jnp.float32)
-        cmax = jnp.ones((ip._MAX_CLUSTERS + 1, 3), jnp.float32)
+        cmin = jnp.zeros((ip._GMAX_CLUSTERS + 1, 3), jnp.float32)
+        cmax = jnp.ones((ip._GMAX_CLUSTERS + 1, 3), jnp.float32)
         comps = [jnp.zeros((8, 128), jnp.float32) for _ in range(6)]
         with pytest.raises(ValueError, match="packed-key cap"):
             ip._prepass_groups(cmin, cmax, comps, 1e-4, 1024)
@@ -478,10 +493,14 @@ class TestGroupedPrepass:
 
         comps = [tcomp(o[:, 0]), tcomp(o[:, 1]), tcomp(o[:, 2]),
                  tcomp(d[:, 0]), tcomp(d[:, 1]), tcomp(d[:, 2])]
-        _, _, gmask, _, _ = ip._cluster_list_groups(
+        _, keys, gmask, _, _ = ip._cluster_list_groups(
             cs.cluster_min, cs.cluster_max, comps, 1e-4, n
         )
+        # gmask is (tiles, 4, cpad) in SCHEDULE order; locate each
+        # cluster's position through the sorted keys' id field
         gm = np.asarray(gmask)
+        kid = np.asarray(keys) & (ip._GMAX_CLUSTERS - 1)
+        kact = (np.asarray(keys) & (1 << 30)) == 0
 
         hit = cs.closest_hit(geom, o, d)
         t = np.asarray(hit.t)
@@ -495,8 +514,59 @@ class TestGroupedPrepass:
             tile = i // ip.RAYS_PER_TILE
             g = (i % ip.RAYS_PER_TILE) // ip.GROUP
             c = ridx[i] // ip.TRI_CHUNK
+            pos = np.where(kact[tile] & (kid[tile] == c))[0]
+            assert pos.size == 1, (i, tile, g, c)
             word, bit = g // 32, g % 32
-            assert (gm[tile, c, word] >> bit) & 1, (i, tile, g, c)
+            assert (gm[tile, word, pos[0]] >> bit) & 1, (i, tile, g, c)
+
+
+class TestSchedStream:
+    """Chunked SMEM schedule streaming (_sched_stream): past
+    _SCHED_CHUNK entries the walk fetches the schedule in ring chunks
+    instead of holding it resident (SMEM tops out under 1 MB on the
+    chip, which capped one pack at 8k clusters in round 3). Forcing a
+    tiny chunk on a 16-cluster scene exercises chunk-boundary crossings
+    (tile unions exceed 8 clusters for in-box rays); results must be
+    BITWISE identical to the resident path."""
+
+    def test_multi_chunk_bitwise(self, monkeypatch):
+        geom = subdivide(cornell_box("quads"), 3).build()
+        cs = ip.CulledScene(geom)
+        assert cs.cluster_min.shape[0] == 16
+        n = ip.ray_batch_multiple()
+        key = jax.random.key(21)
+        ko, kd = jax.random.split(key)
+        lo = jnp.min(cs.cluster_min, axis=0)
+        hi = jnp.max(cs.cluster_max, axis=0)
+        u = jax.random.uniform(ko, (n, 3), minval=0.1, maxval=0.9)
+        o = lo + u * (hi - lo)
+        d = jax.random.normal(kd, (n, 3))
+        d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+        t0, i0 = ip.pallas_closest_tuv_dma_grouped(
+            cs.tri_pack, cs.cluster_min, cs.cluster_max, o, d
+        )
+        maxd = jnp.full((n,), 2.0)
+        b0 = ip.pallas_occluded_dma_grouped(
+            cs.tri_pack, cs.cluster_min, cs.cluster_max, o, d, maxd
+        )
+        monkeypatch.setattr(ip, "_SCHED_CHUNK", 8)
+        ip.pallas_closest_tuv_dma_grouped._clear_cache()
+        ip.pallas_occluded_dma_grouped._clear_cache()
+        try:
+            t1, i1 = ip.pallas_closest_tuv_dma_grouped(
+                cs.tri_pack, cs.cluster_min, cs.cluster_max, o, d
+            )
+            b1 = ip.pallas_occluded_dma_grouped(
+                cs.tri_pack, cs.cluster_min, cs.cluster_max, o, d, maxd
+            )
+        finally:
+            monkeypatch.undo()
+            ip.pallas_closest_tuv_dma_grouped._clear_cache()
+            ip.pallas_occluded_dma_grouped._clear_cache()
+        np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))
+        np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+        np.testing.assert_array_equal(np.asarray(b0), np.asarray(b1))
+        assert int(np.isfinite(np.asarray(t0)).sum()) > n // 2
 
 
 class TestGatedPrepass:

@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..scene.mesh import Geometry
+from ..scene.mesh import Geometry, host_array
 
 LEAF_SIZE = 4        # max triangles per leaf (bvh.h:156)
 STACK_DEPTH = 48     # per-ray traversal stack entries
@@ -105,9 +105,9 @@ def build_bvh(geom: Geometry, prefer_native: bool = True) -> BVH:
 
     Prefers the C++ builder (native/libtpt_native.so, ~100x faster,
     identical output); falls back to this NumPy implementation."""
-    v0 = np.asarray(geom.tri_v0)
-    e1 = np.asarray(geom.tri_e1)
-    e2 = np.asarray(geom.tri_e2)
+    v0 = host_array(geom.tri_v0)
+    e1 = host_array(geom.tri_e1)
+    e2 = host_array(geom.tri_e2)
     v1, v2 = v0 + e1, v0 + e2
     tmin = np.minimum(np.minimum(v0, v1), v2)
     tmax = np.maximum(np.maximum(v0, v1), v2)

@@ -32,7 +32,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..scene.mesh import Geometry
+from ..scene.mesh import Geometry, host_array
 
 TRI_CHUNK = 128      # triangles per inner-loop chunk (sublane dim)
 RAY_TILE = 128       # rays per lane row
@@ -66,8 +66,8 @@ def _tri_pad(t: int) -> int:
 
 def pack_triangles(geom: Geometry) -> jax.Array:
     """(Tpad, 16) packed intersection constants: inv (9) + c = inv@v0 (3)."""
-    inv = np.asarray(geom.tri_inv)                    # (T, 3, 3)
-    v0 = np.asarray(geom.tri_v0)                      # (T, 3)
+    inv = host_array(geom.tri_inv)                    # (T, 3, 3)
+    v0 = host_array(geom.tri_v0)                      # (T, 3)
     t = inv.shape[0]
     tpad = _tri_pad(t)
     out = np.zeros((tpad, 16), np.float32)
@@ -88,15 +88,15 @@ def pack_attributes(geom: Geometry, guide_table=None) -> jax.Array:
     more rows [16:32] carrying the hit primitive's guided-sampling row,
     so the SAME one-hot contraction that selects shading attributes also
     delivers the guided integrator's prim_table fetch for free."""
-    prim = np.asarray(geom.tri_prim)
+    prim = host_array(geom.tri_prim)
     t = prim.shape[0]
     tpad = _tri_pad(t)
     rows = ATTR_COLS if guide_table is None else 2 * ATTR_COLS
     out = np.zeros((rows, tpad), np.float32)
-    out[0:3, :t] = np.asarray(geom.normal)[prim].T
-    out[3:6, :t] = np.asarray(geom.albedo)[prim].T
-    out[6:9, :t] = np.asarray(geom.emission)[prim].T
-    out[9, :t] = np.asarray(geom.material)[prim]
+    out[0:3, :t] = host_array(geom.normal)[prim].T
+    out[3:6, :t] = host_array(geom.albedo)[prim].T
+    out[6:9, :t] = host_array(geom.emission)[prim].T
+    out[9, :t] = host_array(geom.material)[prim]
     out[10, :t] = prim
     if guide_table is not None:
         out[ATTR_COLS:, :t] = np.asarray(guide_table)[prim].T
@@ -404,9 +404,9 @@ RAYS_PER_TILE = RAY_TILE * DMA_ROWS  # cull-mask granularity (rays/tile)
 
 def morton_order(geom: Geometry) -> np.ndarray:
     """Triangle permutation by Morton code of the bbox centroid."""
-    v0 = np.asarray(geom.tri_v0)
-    v1 = v0 + np.asarray(geom.tri_e1)
-    v2 = v0 + np.asarray(geom.tri_e2)
+    v0 = host_array(geom.tri_v0)
+    v1 = v0 + host_array(geom.tri_e1)
+    v2 = v0 + host_array(geom.tri_e2)
     tmin = np.minimum(np.minimum(v0, v1), v2)
     tmax = np.maximum(np.maximum(v0, v1), v2)
     cen = 0.5 * (tmin + tmax)
@@ -440,9 +440,9 @@ def median_split_order(geom: Geometry) -> np.ndarray:
     build quality (reference include/rendering/bvh.h:64-120 midpoint
     split) for the cluster schedule.
     """
-    v0 = np.asarray(geom.tri_v0)
-    v1 = v0 + np.asarray(geom.tri_e1)
-    v2 = v0 + np.asarray(geom.tri_e2)
+    v0 = host_array(geom.tri_v0)
+    v1 = v0 + host_array(geom.tri_e1)
+    v2 = v0 + host_array(geom.tri_e2)
     cen = 0.5 * (np.minimum(np.minimum(v0, v1), v2)
                  + np.maximum(np.maximum(v0, v1), v2))
     out = []
@@ -480,16 +480,16 @@ def pack_triangles_ordered(geom: Geometry, order: np.ndarray):
     primitive) so the any-hit variant can apply source/target exclusion
     in-kernel. Returns (tri_pack_T, cluster_min, cluster_max).
     """
-    inv = np.asarray(geom.tri_inv)[order]
-    v0 = np.asarray(geom.tri_v0)[order]
-    e1 = np.asarray(geom.tri_e1)[order]
-    e2 = np.asarray(geom.tri_e2)[order]
+    inv = host_array(geom.tri_inv)[order]
+    v0 = host_array(geom.tri_v0)[order]
+    e1 = host_array(geom.tri_e1)[order]
+    e2 = host_array(geom.tri_e2)[order]
     t = inv.shape[0]
     tpad = ((t + TRI_CHUNK - 1) // TRI_CHUNK) * TRI_CHUNK
     out = np.zeros((tpad, 16), np.float32)
     out[:t, 0:9] = inv.reshape(t, 9)
     out[:t, 9:12] = np.einsum("tij,tj->ti", inv, v0)
-    out[:t, 12] = np.asarray(geom.tri_prim)[order]
+    out[:t, 12] = host_array(geom.tri_prim)[order]
     out[t:, 12] = -2.0
 
     v1, v2 = v0 + e1, v0 + e2
@@ -680,17 +680,22 @@ class CulledScene:
              self.attr_table) = _leaves[:4]
             self._extra_parts = _leaves[4] if len(_leaves) > 4 else ()
             return
-        # The packed schedule key carries a 13-bit cluster-id field, so
-        # ONE pack holds at most _MAX_CLUSTERS clusters = 1.05M
-        # triangles. Beyond that the scene is PARTITIONED along the
-        # median-split order into contiguous cap-sized parts (each a
-        # compact run of split-tree leaves); closest-hit takes the min
-        # over parts (earlier part wins exact ties, matching the serial
-        # schedule's in-pack convention) and any-hit ORs. Cost is
-        # linear in parts — contrast the reference, which refuses >2M
-        # triangles outright and draws a bbox proxy instead
-        # (pbrt_loader.h:205-272).
-        cap = (_MAX_CLUSTERS * TRI_CHUNK if max_tris_per_part is None
+        # The GROUPED kernels carry a 21-bit cluster-id field (their
+        # masks ride out-of-key and the schedule streams through SMEM
+        # chunks — _sched_stream), so one pack holds 2M clusters =
+        # 268M triangles: partitioning is effectively retired for
+        # them. The row kernel keeps the 13-bit in-key layout
+        # (row-mask bits 13..20), so its scenes still PARTITION along
+        # the median-split order into contiguous cap-sized parts
+        # (each a compact run of split-tree leaves); closest-hit takes
+        # the min over parts (earlier part wins exact ties, matching
+        # the serial schedule's in-pack convention) and any-hit ORs.
+        # Cost is linear in parts — contrast the reference, which
+        # refuses >2M triangles outright and draws a bbox proxy
+        # instead (pbrt_loader.h:205-272).
+        kernel_cap = (_GMAX_CLUSTERS if self.grouped
+                      else _MAX_CLUSTERS) * TRI_CHUNK
+        cap = (kernel_cap if max_tris_per_part is None
                else (max_tris_per_part // TRI_CHUNK) * TRI_CHUNK)
         cap = max(cap, TRI_CHUNK)
         self.order = median_split_order(geom)
@@ -711,14 +716,14 @@ class CulledScene:
         # closest_hit then needs a single (B,) -> (B, 16) gather instead
         # of six chained per-lane gathers (order -> tri_prim -> 4 attr
         # tables), which measured 5.6 ms/bounce on the 101k-tri scene.
-        prim = np.asarray(geom.tri_prim)[order]
+        prim = host_array(geom.tri_prim)[order]
         tpad = tri_pack.shape[1]
         at = np.zeros((tpad, ATTR_COLS), np.float32)
         t = prim.shape[0]
-        at[:t, 0:3] = np.asarray(geom.normal)[prim]
-        at[:t, 3:6] = np.asarray(geom.albedo)[prim]
-        at[:t, 6:9] = np.asarray(geom.emission)[prim]
-        at[:t, 9] = np.asarray(geom.material)[prim]
+        at[:t, 0:3] = host_array(geom.normal)[prim]
+        at[:t, 3:6] = host_array(geom.albedo)[prim]
+        at[:t, 6:9] = host_array(geom.emission)[prim]
+        at[:t, 9] = host_array(geom.material)[prim]
         at[:t, 10] = prim
         return tri_pack, cmin, cmax, jnp.asarray(at)
 
@@ -808,9 +813,11 @@ class CulledScene:
             + 4 * (d[:, 2] > 0).astype(jnp.int32)
         )
         touches = c_probe < jnp.float32(2**30)
+        # grouped-path key: cluster id gets the wide _GID_BITS field
+        # (single packs can exceed 8192 clusters), octant above it
         key = jnp.where(
             touches,
-            (jnp.int32(1) << 30) | (octant << _ID_BITS)
+            (jnp.int32(1) << 30) | (octant << _GID_BITS)
             | c_probe.astype(jnp.int32),
             jnp.int32(0x7FFFFFFF),
         )
@@ -998,7 +1005,7 @@ def _kernel_anyhit(tri_ref, prim_ref, ox, oy, oz, dx, dy, dz, maxd,
 def pack_prim_ids(geom: Geometry) -> jax.Array:
     """(Tpad, 16) f32 with column 0 = logical primitive id per triangle
     (padding rows get -2, matching no real primitive)."""
-    prim = np.asarray(geom.tri_prim)
+    prim = host_array(geom.tri_prim)
     t = prim.shape[0]
     tpad = _tri_pad(t)
     out = np.full((tpad, 16), -2.0, np.float32)
@@ -1883,6 +1890,14 @@ _GROUPED_EARLY_OUT = False  # group-level front-to-back exit: measured NET-NEGAT
                             # on stress100k (coherent 10.2 -> 13.1 ms: the
                             # per-pair gbest update exceeds the pair savings);
                             # kept as a flag for low-incidence scenes
+_POP_GUARD = False          # guard the 2-bit ILP walk's second pop with a
+                            # scalar branch instead of duplicating g1 when a
+                            # mask word has an odd bit count: measured NET-
+                            # NEGATIVE on the bench workload (walk 40.8 ->
+                            # 46.6 ms, stress100k bal4 spp8) — the scf.if
+                            # around the vector block costs more than the
+                            # idempotent duplicate it skips, same lesson as
+                            # the sub-box culling dead end
 
 
 def _prepass_block_vals(cb_ref, ox, oy, oz, ix, iy, iz, t_min, n_real,
@@ -2115,9 +2130,9 @@ def _prepass_groups(cluster_min, cluster_max, comps, t_min, b,
     f32 16-bit-halfword group masks, tn (tiles, Cpad), n_clusters,
     Cpad)."""
     c = cluster_min.shape[0]
-    if c > _MAX_CLUSTERS:
+    if c > _GMAX_CLUSTERS:
         raise ValueError(
-            f"{c} clusters exceeds the packed-key cap {_MAX_CLUSTERS}"
+            f"{c} clusters exceeds the packed-key cap {_GMAX_CLUSTERS}"
         )
     tiles = b // RAYS_PER_TILE
     cpad = ((c + RAY_TILE - 1) // RAY_TILE) * RAY_TILE
@@ -2192,7 +2207,10 @@ def _cluster_list_groups(cluster_min, cluster_max, comps, t_min, b,
     """Schedule + group masks for the grouped kernel.
 
     Returns (count (tiles,), keys (tiles, Cpad), gmask
-    (tiles, Cpad, 4) i32 — 128 group bits per cluster, lostep
+    (tiles, 4, Cpad) i32 — 128 group bits per SCHEDULE ENTRY (sorted
+    into schedule order alongside the keys, so the walk reads masks
+    positionally and the schedule can stream through a small SMEM ring
+    instead of sitting cid-indexed and whole in SMEM), lostep
     (tiles, 2) distance-bucket dequantization, texit
     (tiles, 8, 128) per-ray interest bounds)."""
     ghit, tn, texit, c, cpad = _prepass_groups(
@@ -2233,10 +2251,19 @@ def _cluster_list_groups(cluster_min, cluster_max, comps, t_min, b,
     # sort/compaction it replaces measured ~20k cycles/tile (1.3 ms of
     # a 2.2 ms kernel, benchmarks/visit_probe.py). Inactive keys carry
     # bit 30 and sink to the tail; active ones order by (distance
-    # bucket, cluster id).
-    keys = jnp.sort(keys, axis=-1)
+    # bucket, cluster id). The four group-mask words ride the sort as
+    # values (keys are unique — iota is a key field — so the order is
+    # bit-identical to sorting keys alone): the walk then reads masks
+    # POSITIONALLY, which lets the schedule stream through a small
+    # SMEM ring instead of sitting cid-indexed and whole in SMEM.
+    keys, m0, m1, m2, m3 = jax.lax.sort(
+        (keys, gmask[..., 0], gmask[..., 1], gmask[..., 2],
+         gmask[..., 3]),
+        dimension=-1, num_keys=1, is_stable=True,
+    )
+    gmask_sched = jnp.stack([m0, m1, m2, m3], axis=1)  # (tiles, 4, cpad)
     lostep = jnp.stack([lo, step], axis=1)          # (tiles, 2)
-    return count, keys, gmask, lostep, texit
+    return count, keys, gmask_sched, lostep, texit
 
 
 def _log2_onehot(m):
@@ -2250,6 +2277,106 @@ def _log2_onehot(m):
     return (x * 0x01010101) >> 24
 
 
+def _sched_slots(cpad):
+    """(ring slots, entries per slot) for a schedule of length cpad."""
+    if cpad <= _SCHED_CHUNK:
+        return 2, cpad
+    return 4, _SCHED_CHUNK
+
+
+def _sched_stream(sched_hbm, smem_ring, smem_sem, i, n_tiles):
+    """Schedule access through a chunked SMEM ring.
+
+    Single-chunk scenes (cpad <= _SCHED_CHUNK) keep the resident
+    layout: one (8, cpad) slot per tile parity, primed one grid step
+    ahead. Larger schedules STREAM (8, ch)-entry chunks instead —
+    SMEM tops out under 1 MB on this chip, so a 16k-cluster scene's
+    schedule cannot sit resident; slots are (tile parity x chunk
+    parity). Chunk 0 of tile i+1 is primed during tile i's walk;
+    chunk c+1 is fetched start+wait (a ~us stall against ~ch visits
+    of walk) when the walk enters chunk c. The tri-DMA lookahead reads
+    at most _DMA_RING-1 << ch positions ahead, so iterations inside
+    chunk c only ever read chunks c and c+1 — both resident by the
+    invariant above.
+
+    Returns (prologue, advance, sched_at, mask_at)."""
+    ch = smem_ring.shape[2]
+    multi = smem_ring.shape[0] == 4
+
+    def chunk_dma(slot, t, c):
+        if not multi:
+            return pltpu.make_async_copy(
+                sched_hbm.at[t], smem_ring.at[slot], smem_sem.at[slot]
+            )
+        return pltpu.make_async_copy(
+            sched_hbm.at[t, :, pl.ds(c * ch, ch)],
+            smem_ring.at[slot], smem_sem.at[slot],
+        )
+
+    if not multi:
+        cur = jax.lax.rem(i, 2)
+        nxt = jax.lax.rem(i + 1, 2)
+
+        def prologue():
+            @pl.when(i == 0)
+            def _():
+                chunk_dma(0, 0, 0).start()
+
+            @pl.when(i + 1 < n_tiles)
+            def _():
+                chunk_dma(nxt, i + 1, 0).start()
+
+            chunk_dma(cur, i, 0).wait()
+
+        def advance(k, n_active):
+            pass
+
+        def sched_at(pos):
+            return smem_ring[cur, 0, pos]
+
+        def mask_at(w, pos):
+            return smem_ring[cur, 1 + w, pos]
+
+        return prologue, advance, sched_at, mask_at
+
+    i_base = jax.lax.rem(i, 2) * 2
+
+    def slot_of(pos):
+        return i_base + jax.lax.rem(pos // ch, 2)
+
+    def prologue():
+        @pl.when(i == 0)
+        def _():
+            chunk_dma(0, 0, 0).start()
+
+        @pl.when(i + 1 < n_tiles)
+        def _():
+            chunk_dma(jax.lax.rem(i + 1, 2) * 2, i + 1, 0).start()
+
+        chunk_dma(i_base, i, 0).wait()
+
+    def advance(k, n_active):
+        @pl.when(jax.lax.rem(k, ch) == 0)
+        def _():
+            c = k // ch
+
+            @pl.when((c + 1) * ch < n_active)
+            def _():
+                dma = chunk_dma(
+                    i_base + jax.lax.rem(c + 1, 2), i, c + 1
+                )
+                dma.start()
+                dma.wait()
+
+    def sched_at(pos):
+        return smem_ring[slot_of(pos), 0, jax.lax.rem(pos, ch)]
+
+    def mask_at(w, pos):
+        return smem_ring[slot_of(pos), 1 + w, jax.lax.rem(pos, ch)]
+
+    return prologue, advance, sched_at, mask_at
+
+
 def _kernel_grouped_dma(count_ref, lostep_ref, tmin_ref,
                         sched_hbm, comp_hbm, tri_hbm,
                         out_ref,
@@ -2258,21 +2385,21 @@ def _kernel_grouped_dma(count_ref, lostep_ref, tmin_ref,
                         comp_ring, comp_sem, bcast):
     # Per-tile inputs (schedule keys + group masks -> SMEM; lane-
     # broadcast ray comps + exit bounds -> VMEM) are DMA'd BY THE
-    # KERNEL through 2-deep rings primed one grid step ahead. Mosaic's
-    # own per-step block copies do NOT overlap the body at all
-    # (benchmarks/visit_probe.py: an empty body still costs 13 us/tile
-    # and dummy compute is fully additive; block-granular SMEM copies
-    # add 7.6 us/tile at Cpad=896) — manual prefetch hides the whole
-    # ~20.6 us/tile input floor behind the previous tile's walk.
+    # KERNEL through prefetch rings primed one grid step ahead (the
+    # schedule ring is chunked past _SCHED_CHUNK entries — see
+    # _sched_stream). Mosaic's own per-step block copies do NOT
+    # overlap the body at all (benchmarks/visit_probe.py: an empty
+    # body still costs 13 us/tile and dummy compute is fully additive;
+    # block-granular SMEM copies add 7.6 us/tile at Cpad=896) — manual
+    # prefetch hides the whole ~20.6 us/tile input floor behind the
+    # previous tile's walk.
     i = pl.program_id(0)
     n_tiles = pl.num_programs(0)
     cur = jax.lax.rem(i, 2)
     nxt = jax.lax.rem(i + 1, 2)
-
-    def sched_dma(slot, t):
-        return pltpu.make_async_copy(
-            sched_hbm.at[t], smem_ring.at[slot], smem_sem.at[slot]
-        )
+    prologue, advance, sched_at, mask_at = _sched_stream(
+        sched_hbm, smem_ring, smem_sem, i, n_tiles
+    )
 
     def comp_dma(slot, t):
         return pltpu.make_async_copy(
@@ -2281,15 +2408,13 @@ def _kernel_grouped_dma(count_ref, lostep_ref, tmin_ref,
 
     @pl.when(i == 0)
     def _():
-        sched_dma(0, 0).start()
         comp_dma(0, 0).start()
 
     @pl.when(i + 1 < n_tiles)
     def _():
-        sched_dma(nxt, i + 1).start()
         comp_dma(nxt, i + 1).start()
 
-    sched_dma(cur, i).wait()
+    prologue()
     comp_dma(cur, i).wait()
 
     # Expand the compact comps to lane-broadcast form (ray r of the
@@ -2318,18 +2443,19 @@ def _kernel_grouped_dma(count_ref, lostep_ref, tmin_ref,
     t_cut = jnp.maximum(jnp.float32(1.000000082740371e-08), t_min)
     lo = lostep_ref[i, 0]
     step = lostep_ref[i, 1]
-    cpad = smem_ring.shape[2]
+    cpad = sched_hbm.shape[2]
 
     # The schedule arrives pre-sorted and compacted from the glue
-    # (jnp.sort in _cluster_list_groups): entries [0, n_active) are the
-    # active clusters front-to-back. The in-kernel scalar counting
-    # sort/compaction this replaces measured ~20k cycles/tile (1.3 ms
-    # of a 2.2 ms kernel at 64k rays — benchmarks/visit_probe.py).
+    # (lax.sort in _cluster_list_groups, group-mask words carried
+    # alongside): entries [0, n_active) are the active clusters
+    # front-to-back, masks read POSITIONALLY. The in-kernel scalar
+    # counting sort/compaction this replaces measured ~20k cycles/tile
+    # (1.3 ms of a 2.2 ms kernel at 64k rays — benchmarks/visit_probe.py).
     def sched(k):
-        return smem_ring[cur, 0, k]
+        return sched_at(k)
 
     def get_dma(slot, k):
-        cid = sched(k) & (_MAX_CLUSTERS - 1)
+        cid = sched(k) & (_GMAX_CLUSTERS - 1)
         return pltpu.make_async_copy(
             tri_hbm.at[:, pl.ds(cid * TRI_CHUNK, TRI_CHUNK)],
             scratch.at[slot],
@@ -2379,6 +2505,7 @@ def _kernel_grouped_dma(count_ref, lostep_ref, tmin_ref,
 
     def body(k, carry):
         open0, open1, open2, open3 = carry
+        advance(k, n_active)
         slot = jax.lax.rem(k, _DMA_RING)
         ahead = jnp.minimum(k + _DMA_RING - 1, cpad - 1)
 
@@ -2387,9 +2514,6 @@ def _kernel_grouped_dma(count_ref, lostep_ref, tmin_ref,
             get_dma(jax.lax.rem(ahead, _DMA_RING), ahead).start()
 
         get_dma(slot, k).wait()
-
-        key = sched(k)
-        cid = key & (_MAX_CLUSTERS - 1)
 
         trb = scratch[slot]                    # (16, 128)
 
@@ -2401,6 +2525,7 @@ def _kernel_grouped_dma(count_ref, lostep_ref, tmin_ref,
             trb[kk:kk+1, :] for kk in range(12)
         ]
 
+        cid = sched(k) & (_GMAX_CLUSTERS - 1)
         ids_lane = tri_iota + cid * TRI_CHUNK
 
         def process_group(g):
@@ -2469,14 +2594,23 @@ def _kernel_grouped_dma(count_ref, lostep_ref, tmin_ref,
                 lb2 = m1 & (-m1)
                 m2 = m1 & (m1 - 1)
                 g1 = w * 32 + _log2_onehot(lb1)
-                g2 = jnp.where(lb2 != 0, w * 32 + _log2_onehot(lb2), g1)
                 process_group(g1)
-                process_group(g2)
+                if _POP_GUARD:
+                    # skip the odd-count duplicate entirely: the
+                    # scalar branch costs less than the (8, 128)
+                    # pair arithmetic it saves (measured)
+                    @pl.when(lb2 != 0)
+                    def _():
+                        process_group(w * 32 + _log2_onehot(lb2))
+                else:
+                    g2 = jnp.where(lb2 != 0,
+                                   w * 32 + _log2_onehot(lb2), g1)
+                    process_group(g2)
                 return m2
 
             jax.lax.while_loop(
                 lambda m: m != 0, bit_body,
-                smem_ring[cur, 1 + w, cid] & ow[w],
+                mask_at(w, k) & ow[w],
             )
         return open0, open1, open2, open3
 
@@ -2613,18 +2747,25 @@ def pallas_closest_tuv_dma_grouped(tri_pack, cluster_min, cluster_max,
     cpad = keys.shape[1]
 
     # schedule pack (tiles, 8, cpad) i32: row 0 = sorted keys, rows
-    # 1..4 = group-mask words per cluster, rows 5..7 pad (Mosaic DMA
-    # slices must cover whole 8-sublane tiles); DMA'd to SMEM by the
-    # kernel's 2-deep prefetch ring
+    # 1..4 = group-mask words IN SCHEDULE ORDER, rows 5..7 pad (Mosaic
+    # DMA slices must cover whole 8-sublane tiles); streamed to SMEM by
+    # the kernel's chunked prefetch ring (_sched_stream). cpad rounds
+    # up to whole chunks so every chunk DMA slice is in bounds — the
+    # zero padding is never read (reads stop at n_active <= cpad).
     sched_pack = jnp.concatenate(
-        [keys[:, None, :], gmask.transpose(0, 2, 1),
+        [keys[:, None, :], gmask,
          jnp.zeros((tiles, 3, cpad), jnp.int32)], axis=1
     )
+    if cpad > _SCHED_CHUNK and cpad % _SCHED_CHUNK:
+        pad = _SCHED_CHUNK - cpad % _SCHED_CHUNK
+        sched_pack = jnp.pad(sched_pack, ((0, 0), (0, 0), (0, pad)))
+        cpad += pad
     if tiny_smem:
         # PROBE ONLY (with zero_sched): shrink the per-tile schedule
         # DMA to measure its share of the floor
         sched_pack = sched_pack[:, :, :TRI_CHUNK]
         cpad = TRI_CHUNK
+    n_slots, ch = _sched_slots(cpad)
 
     # comp pack (tiles, 56, 128): the six COMPACT transposed comps
     # (sublane = ray slot, lane = group — the prepass layout) stacked
@@ -2669,8 +2810,8 @@ def pallas_closest_tuv_dma_grouped(tri_pack, cluster_min, cluster_max,
             pltpu.VMEM((GROUP, GROUPS_PER_TILE * TRI_CHUNK),
                        jnp.int32),
             pltpu.VMEM((GROUP, RAY_TILE), jnp.float32),
-            pltpu.SMEM((2, 8, cpad), jnp.int32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SMEM((n_slots, 8, ch), jnp.int32),
+            pltpu.SemaphoreType.DMA((n_slots,)),
             pltpu.VMEM((2, 7 * GROUP, RAY_TILE), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.VMEM((6 * RAYS_PER_TILE, RAY_TILE), jnp.float32),
@@ -2728,11 +2869,9 @@ def _kernel_grouped_anyhit_dma(count_ref, sched_hbm, comp_hbm, tri_hbm,
     n_tiles = pl.num_programs(0)
     cur = jax.lax.rem(i, 2)
     nxt = jax.lax.rem(i + 1, 2)
-
-    def sched_dma(slot, t):
-        return pltpu.make_async_copy(
-            sched_hbm.at[t], smem_ring.at[slot], smem_sem.at[slot]
-        )
+    prologue, advance, sched_at, mask_at = _sched_stream(
+        sched_hbm, smem_ring, smem_sem, i, n_tiles
+    )
 
     def comp_dma(slot, t):
         return pltpu.make_async_copy(
@@ -2741,15 +2880,13 @@ def _kernel_grouped_anyhit_dma(count_ref, sched_hbm, comp_hbm, tri_hbm,
 
     @pl.when(i == 0)
     def _():
-        sched_dma(0, 0).start()
         comp_dma(0, 0).start()
 
     @pl.when(i + 1 < n_tiles)
     def _():
-        sched_dma(nxt, i + 1).start()
         comp_dma(nxt, i + 1).start()
 
-    sched_dma(cur, i).wait()
+    prologue()
     comp_dma(cur, i).wait()
 
     for c in range(9):
@@ -2765,10 +2902,10 @@ def _kernel_grouped_anyhit_dma(count_ref, sched_hbm, comp_hbm, tri_hbm,
     n_active = count_ref[i]
 
     def sched(k):
-        return smem_ring[cur, 0, k]
+        return sched_at(k)
 
     def get_dma(slot, k):
-        cid = sched(k) & (_MAX_CLUSTERS - 1)
+        cid = sched(k) & (_GMAX_CLUSTERS - 1)
         return pltpu.make_async_copy(
             tri_hbm.at[:, pl.ds(cid * TRI_CHUNK, TRI_CHUNK)],
             scratch.at[slot],
@@ -2790,9 +2927,10 @@ def _kernel_grouped_anyhit_dma(count_ref, sched_hbm, comp_hbm, tri_hbm,
     lane_iota = jax.lax.broadcasted_iota(
         jnp.int32, (GROUP, RAY_TILE), 1
     )
-    cpad = smem_ring.shape[2]
+    cpad = sched_hbm.shape[2]
 
     def body(k, carry):
+        advance(k, n_active)
         slot = jax.lax.rem(k, _DMA_RING)
         ahead = jnp.minimum(k + _DMA_RING - 1, cpad - 1)
 
@@ -2802,7 +2940,6 @@ def _kernel_grouped_anyhit_dma(count_ref, sched_hbm, comp_hbm, tri_hbm,
 
         get_dma(slot, k).wait()
 
-        cid = sched(k) & (_MAX_CLUSTERS - 1)
         trb = scratch[slot]                    # (16, 128)
         (r0, r1, r2, r3, r4, r5, r6, r7, r8, r9, r10, r11) = [
             trb[kk:kk + 1, :] for kk in range(12)
@@ -2850,14 +2987,20 @@ def _kernel_grouped_anyhit_dma(count_ref, sched_hbm, comp_hbm, tri_hbm,
                 lb2 = m1 & (-m1)
                 m2 = m1 & (m1 - 1)
                 g1 = w * 32 + _log2_onehot(lb1)
-                g2 = jnp.where(lb2 != 0, w * 32 + _log2_onehot(lb2), g1)
                 process_group(g1)
-                process_group(g2)
+                if _POP_GUARD:
+                    @pl.when(lb2 != 0)
+                    def _():
+                        process_group(w * 32 + _log2_onehot(lb2))
+                else:
+                    g2 = jnp.where(lb2 != 0,
+                                   w * 32 + _log2_onehot(lb2), g1)
+                    process_group(g2)
                 return m2
 
             jax.lax.while_loop(
                 lambda m: m != 0, bit_body,
-                smem_ring[cur, 1 + w, cid],
+                mask_at(w, k),
             )
         return carry
 
@@ -2916,9 +3059,14 @@ def pallas_occluded_dma_grouped(tri_pack, cluster_min, cluster_max,
     )
     cpad = keys.shape[1]
     sched_pack = jnp.concatenate(
-        [keys[:, None, :], gmask.transpose(0, 2, 1),
+        [keys[:, None, :], gmask,
          jnp.zeros((tiles, 3, cpad), jnp.int32)], axis=1
     )
+    if cpad > _SCHED_CHUNK and cpad % _SCHED_CHUNK:
+        pad = _SCHED_CHUNK - cpad % _SCHED_CHUNK
+        sched_pack = jnp.pad(sched_pack, ((0, 0), (0, 0), (0, pad)))
+        cpad += pad
+    n_slots, ch = _sched_slots(cpad)
     comp_pack = jnp.concatenate(
         [x.reshape(tiles, GROUP, GROUPS_PER_TILE)
          for x in comps + [md_t, exa_t, exb_t]],
@@ -2945,8 +3093,8 @@ def pallas_occluded_dma_grouped(tri_pack, cluster_min, cluster_max,
             pltpu.SemaphoreType.DMA((_DMA_RING,)),
             pltpu.VMEM((GROUP, GROUPS_PER_TILE * TRI_CHUNK),
                        jnp.float32),
-            pltpu.SMEM((2, 8, cpad), jnp.int32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SMEM((n_slots, 8, ch), jnp.int32),
+            pltpu.SemaphoreType.DMA((n_slots,)),
             pltpu.VMEM((2, 9 * GROUP, RAY_TILE), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.VMEM((9 * RAYS_PER_TILE, RAY_TILE), jnp.float32),

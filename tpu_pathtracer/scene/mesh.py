@@ -23,6 +23,7 @@ makes the reference's quad formulas exact for triangles too:
 
 from __future__ import annotations
 
+import weakref
 from dataclasses import dataclass
 
 import jax
@@ -30,6 +31,38 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.constants import MATERIAL_DIFFUSE
+
+# Host mirror of uploaded geometry arrays. Host-side builders (median
+# split clustering, triangle packing, BVH build, attribute tables) need
+# numpy views of device arrays; fetching them back through the axon
+# tunnel costs seconds per 100 MB — and the first d2h of a process can
+# stall far longer on a degraded tunnel (measured 60 s for 25 MB after
+# a TPU-worker restart). build_geometry seeds the mirror at upload
+# time, so host_array() is a dict hit and NOTHING is ever downloaded.
+# Entries die with their device array (weakref callback).
+_HOST_MIRROR: dict = {}
+
+
+def _seed_host(dev, host: np.ndarray) -> None:
+    k = id(dev)
+    try:
+        ref = weakref.ref(dev, lambda _, k=k: _HOST_MIRROR.pop(k, None))
+    except TypeError:
+        return
+    _HOST_MIRROR[k] = (ref, host)
+
+
+def host_array(a) -> np.ndarray:
+    """numpy view of (possibly device) array `a`, downloading at most
+    once per array object; free for arrays built by build_geometry."""
+    if isinstance(a, np.ndarray):
+        return a
+    ent = _HOST_MIRROR.get(id(a))
+    if ent is not None and ent[0]() is a:
+        return ent[1]
+    h = np.asarray(a)
+    _seed_host(a, h)
+    return h
 
 
 @jax.tree_util.register_dataclass
@@ -150,20 +183,26 @@ def build_geometry(
     inv = np.linalg.inv(m_safe).astype(np.float32)
     inv = np.where(ok[:, None, None], inv, np.zeros_like(inv))
 
+    def up(h):
+        h = np.ascontiguousarray(h)
+        dev = jnp.asarray(h)
+        _seed_host(dev, h)
+        return dev
+
     return Geometry(
-        tri_v0=jnp.asarray(v0),
-        tri_e1=jnp.asarray(e1),
-        tri_e2=jnp.asarray(e2),
-        tri_inv=jnp.asarray(inv),
-        tri_prim=jnp.asarray(tri_prim),
-        corners=jnp.asarray(corners),
-        normal=jnp.asarray(geom_normal.astype(np.float32)),
-        albedo=jnp.asarray(albedo),
-        emission=jnp.asarray(emission),
-        area=jnp.asarray(area.astype(np.float32)),
-        centroid=jnp.asarray(centroid.astype(np.float32)),
-        material=jnp.asarray(material),
-        is_quad=jnp.asarray(is_quad),
+        tri_v0=up(v0),
+        tri_e1=up(e1),
+        tri_e2=up(e2),
+        tri_inv=up(inv),
+        tri_prim=up(tri_prim),
+        corners=up(corners),
+        normal=up(geom_normal.astype(np.float32)),
+        albedo=up(albedo),
+        emission=up(emission),
+        area=up(area.astype(np.float32)),
+        centroid=up(centroid.astype(np.float32)),
+        material=up(material),
+        is_quad=up(is_quad),
     )
 
 
