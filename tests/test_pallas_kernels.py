@@ -646,10 +646,11 @@ class TestGatedPrepass:
         gate = np.asarray(ip._block_gate(
             cmin, cmax, comps, 1e-4, n // ip.RAYS_PER_TILE, c, cpad
         ))
+        # ghit is (tiles, 8, cpad): group halfword sums, cpad-minor
         gh = np.asarray(ghit).reshape(
-            ghit.shape[0], cpad // ip.TRI_CHUNK, ip.TRI_CHUNK, ip.GROUP
+            ghit.shape[0], ip.GROUP, cpad // ip.TRI_CHUNK, ip.TRI_CHUNK
         )
-        blocked_any = gh.sum(axis=(2, 3)) > 0
+        blocked_any = gh.sum(axis=(1, 3)) > 0
         assert not np.any(blocked_any & (gate == 0))
 
 

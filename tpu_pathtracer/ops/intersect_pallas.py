@@ -1968,7 +1968,11 @@ def _prepass_block_vals(cb_ref, ox, oy, oz, ix, iy, iz, t_min, n_real,
                 axis=1, keepdims=True,
             )
         )
-    ghit = jnp.concatenate(halves, axis=1)    # (128, 8)
+    # transposed (8 halfwords, 128 clusters) output: the glue's i32
+    # convert / word-pack / any-reduce then run on a cpad-minor array
+    # instead of an 8-minor one (which pads 8 lanes -> 128, a measured
+    # ~1 ms/call of XLA at 16.4k clusters)
+    ghit = jnp.transpose(jnp.concatenate(halves, axis=1))  # (8, 128)
     tn = jnp.broadcast_to(
         jnp.transpose(tn_min), (GROUP, TRI_CHUNK)
     )
@@ -2037,7 +2041,7 @@ def _kernel_prepass_groups(cb_ref, ox, oy, oz, ix, iy, iz, scal_ref,
 
     @pl.when(gate == 0)
     def _():
-        ghit_ref[0] = jnp.zeros((TRI_CHUNK, GROUP), jnp.float32)
+        ghit_ref[0] = jnp.zeros((GROUP, TRI_CHUNK), jnp.float32)
         tn_ref[0] = jnp.full(
             (GROUP, TRI_CHUNK), jnp.inf, jnp.float32
         )
@@ -2122,7 +2126,7 @@ def _block_gate(cluster_min, cluster_max, comps, t_min, tiles, c,
 
 
 def _prepass_groups(cluster_min, cluster_max, comps, t_min, b,
-                    maxd=None):
+                    maxd=None, _no_gate=False):
     """Run the group pre-pass on transposed ray comps.
 
     comps: 6 arrays (tiles*8, 128); maxd optionally a 7th (segment
@@ -2148,13 +2152,40 @@ def _prepass_groups(cluster_min, cluster_max, comps, t_min, b,
             jnp.zeros((2, cpad), jnp.float32),
         ]
     )                                         # (8, Cpad)
-    gated = cpad // TRI_CHUNK >= _GATE_MIN_BLOCKS
+    gated = (not _no_gate
+             and cpad // TRI_CHUNK >= _GATE_MIN_BLOCKS)
     gate_ops = ()
     if gated:
-        gate_ops = (_block_gate(
-            cluster_min, cluster_max, comps, t_min, tiles, c, cpad,
-            maxd=maxd,
-        ),)
+        # The gate is ITSELF a (recursion-guarded) prepass over the
+        # 128-cluster blocks' union AABBs — ~128x fewer boxes, same
+        # kernel, same conservative slab. The XLA formulation of this
+        # test (_block_gate, kept as the test oracle) measured
+        # ~1.0 ms/call at 16.4k clusters vs ~0.05 ms for this one.
+        nblk = cpad // TRI_CHUNK
+        pad = cpad - c
+        bmin = jnp.min(
+            jnp.pad(cluster_min, ((0, pad), (0, 0)),
+                    constant_values=jnp.inf)
+            .reshape(nblk, TRI_CHUNK, 3),
+            axis=1,
+        )
+        bmax = jnp.max(
+            jnp.pad(cluster_max, ((0, pad), (0, 0)),
+                    constant_values=-jnp.inf)
+            .reshape(nblk, TRI_CHUNK, 3),
+            axis=1,
+        )
+        bghit, _, _, _, _ = _prepass_groups(
+            bmin, bmax, comps, t_min, b, maxd=maxd, _no_gate=True
+        )
+        # fully-padded blocks (bmin=+inf, bmax=-inf) slab to a spurious
+        # always-hit; mask them off (the prepass writes zeros for their
+        # member clusters either way — this just skips the work)
+        real = jnp.arange(nblk, dtype=jnp.int32) * TRI_CHUNK < c
+        gate = (
+            jnp.any(bghit[:, :, :nblk] > 0.0, axis=1) & real[None, :]
+        )
+        gate_ops = (gate.astype(jnp.int32),)
     ray_spec = pl.BlockSpec(
         (GROUP, RAY_TILE), lambda i, j: (i, 0),
         memory_space=pltpu.VMEM,
@@ -2175,8 +2206,8 @@ def _prepass_groups(cluster_min, cluster_max, comps, t_min, b,
         + [ray_spec] * (6 if maxd is None else 7)
         + [pl.BlockSpec(memory_space=pltpu.SMEM)] * (2 if gated else 1),
         out_specs=[
-            pl.BlockSpec((1, TRI_CHUNK, GROUP),
-                         lambda i, j: (i, j, 0),
+            pl.BlockSpec((1, GROUP, TRI_CHUNK),
+                         lambda i, j: (i, 0, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, GROUP, TRI_CHUNK),
                          lambda i, j: (i, 0, j),
@@ -2186,7 +2217,7 @@ def _prepass_groups(cluster_min, cluster_max, comps, t_min, b,
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((tiles, cpad, GROUP), jnp.float32),
+            jax.ShapeDtypeStruct((tiles, GROUP, cpad), jnp.float32),
             jax.ShapeDtypeStruct((tiles, GROUP, cpad), jnp.float32),
             jax.ShapeDtypeStruct((tiles, GROUP, RAY_TILE), jnp.float32),
         ],
@@ -2216,11 +2247,12 @@ def _cluster_list_groups(cluster_min, cluster_max, comps, t_min, b,
     ghit, tn, texit, c, cpad = _prepass_groups(
         cluster_min, cluster_max, comps, t_min, b, maxd=maxd
     )
-    # ghit: (tiles, Cpad, 8) f32 16-bit halfword sums (packed in-kernel)
+    # ghit: (tiles, 8, Cpad) f32 16-bit halfword sums (packed and
+    # TRANSPOSED in-kernel so these ops run cpad-minor, not 8-minor)
     tiles = ghit.shape[0]
     h = ghit.astype(jnp.int32)
-    gmask = h[..., 0::2] | (h[..., 1::2] << 16)   # (tiles, Cpad, 4)
-    active = jnp.any(ghit > 0.0, axis=-1) & (
+    gmask = h[:, 0::2, :] | (h[:, 1::2, :] << 16)  # (tiles, 4, Cpad)
+    active = jnp.any(ghit > 0.0, axis=1) & (
         jnp.arange(cpad)[None, :] < c
     )
     count = jnp.sum(active, axis=1).astype(jnp.int32)
@@ -2256,10 +2288,14 @@ def _cluster_list_groups(cluster_min, cluster_max, comps, t_min, b,
     # bit-identical to sorting keys alone): the walk then reads masks
     # POSITIONALLY, which lets the schedule stream through a small
     # SMEM ring instead of sitting cid-indexed and whole in SMEM.
+    # keys are UNIQUE (iota is a key field), so an unstable sort is
+    # bit-identical to a stable one — and XLA's stable lowering adds a
+    # seventh iota tiebreak operand to the comparator (measured in the
+    # stress2m HLO), pure waste here
     keys, m0, m1, m2, m3 = jax.lax.sort(
-        (keys, gmask[..., 0], gmask[..., 1], gmask[..., 2],
-         gmask[..., 3]),
-        dimension=-1, num_keys=1, is_stable=True,
+        (keys, gmask[:, 0, :], gmask[:, 1, :], gmask[:, 2, :],
+         gmask[:, 3, :]),
+        dimension=-1, num_keys=1, is_stable=False,
     )
     gmask_sched = jnp.stack([m0, m1, m2, m3], axis=1)  # (tiles, 4, cpad)
     lostep = jnp.stack([lo, step], axis=1)          # (tiles, 2)
