@@ -35,6 +35,8 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--spp", type=int, default=8)
     p.add_argument("--balance", type=int, default=4)
+    p.add_argument("--scene", default="stress100k",
+                   choices=["stress100k", "2m"])
     args = p.parse_args()
 
     import jax
@@ -50,7 +52,12 @@ def main():
     from tpu_pathtracer.scene.pbrt_loader import parse_pbrt
     from tpu_pathtracer.utils.kernel_profile import kernel_profile_traced
 
-    scene = parse_pbrt(os.path.join(HERE, "..", "scenes/stress100k.pbrt"))
+    if args.scene == "2m":
+        scene = parse_pbrt("/tmp/tpt_stress2m/stress2m.pbrt",
+                           max_triangles=1 << 31)
+    else:
+        scene = parse_pbrt(
+            os.path.join(HERE, "..", "scenes/stress100k.pbrt"))
     geom = scene.prims.build()
     eye, tgt, up = scene.camera_lookat
     cam = CameraController(
@@ -103,14 +110,24 @@ def main():
     for op in walks:
         print(f"{op['name']:44s} {op['ms']:8.2f} ms  x{op['count']}")
     out = {
+        "scene": args.scene,
         "spp": args.spp, "balance": args.balance,
         "device_total_ms": prof["device_total"] * 1e3,
         "ops": [{k: op[k] for k in ("name", "ms", "count")}
                 for op in walks],
     }
     path = os.path.join(HERE, "walk_cost_probe_result.json")
+    data = {}
+    if os.path.exists(path):
+        try:
+            data = json.load(open(path))
+        except Exception:
+            data = {}
+    if "ops" in data:          # pre-round-4 flat format
+        data = {"stress100k": data}
+    data[args.scene] = out
     with open(path, "w") as f:
-        json.dump(out, f, indent=2)
+        json.dump(data, f, indent=2)
     print(json.dumps({k: out[k] for k in ("spp", "balance",
                                           "device_total_ms")}))
 

@@ -569,6 +569,53 @@ class TestSchedStream:
         assert int(np.isfinite(np.asarray(t0)).sum()) > n // 2
 
 
+class TestSCWalk:
+    """Supercluster walk (one schedule entry = 8 clusters = one
+    (16, 1024) tri DMA; members pop from a per-entry bitmap). Measured
+    a WASH on the 2.1M scene (kept flag-disabled, _SC_MIN_CLUSTERS),
+    but the machinery stays bitwise-exact — forced on here against the
+    per-cluster walk, closest-hit and any-hit, plus combined with
+    forced multi-chunk schedule streaming."""
+
+    def test_sc_walk_bitwise(self, monkeypatch):
+        geom = subdivide(cornell_box("quads"), 3).build()
+        cs = ip.CulledScene(geom)
+        n = ip.ray_batch_multiple()
+        ko, kd = jax.random.split(jax.random.key(21))
+        lo = jnp.min(cs.cluster_min, axis=0)
+        hi = jnp.max(cs.cluster_max, axis=0)
+        u = jax.random.uniform(ko, (n, 3), minval=0.1, maxval=0.9)
+        o = lo + u * (hi - lo)
+        d = jax.random.normal(kd, (n, 3))
+        d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+        maxd = jnp.full((n,), 2.0)
+        t0, i0 = ip.pallas_closest_tuv_dma_grouped(
+            cs.tri_pack, cs.cluster_min, cs.cluster_max, o, d
+        )
+        b0 = ip.pallas_occluded_dma_grouped(
+            cs.tri_pack, cs.cluster_min, cs.cluster_max, o, d, maxd
+        )
+        monkeypatch.setattr(ip, "_SC_MIN_CLUSTERS", 1)
+        monkeypatch.setattr(ip, "_SCHED_CHUNK", 8)
+        ip.pallas_closest_tuv_dma_grouped._clear_cache()
+        ip.pallas_occluded_dma_grouped._clear_cache()
+        try:
+            t1, i1 = ip.pallas_closest_tuv_dma_grouped(
+                cs.tri_pack, cs.cluster_min, cs.cluster_max, o, d
+            )
+            b1 = ip.pallas_occluded_dma_grouped(
+                cs.tri_pack, cs.cluster_min, cs.cluster_max, o, d, maxd
+            )
+        finally:
+            monkeypatch.undo()
+            ip.pallas_closest_tuv_dma_grouped._clear_cache()
+            ip.pallas_occluded_dma_grouped._clear_cache()
+        np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))
+        np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+        np.testing.assert_array_equal(np.asarray(b0), np.asarray(b1))
+        assert int(np.isfinite(np.asarray(t0)).sum()) > n // 2
+
+
 class TestGatedPrepass:
     """Two-level schedule (128-cluster block gate) for HBM-scale
     scenes: the gated prepass must be BITWISE identical to the dense

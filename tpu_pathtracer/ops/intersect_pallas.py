@@ -485,7 +485,14 @@ def pack_triangles_ordered(geom: Geometry, order: np.ndarray):
     e1 = host_array(geom.tri_e1)[order]
     e2 = host_array(geom.tri_e2)[order]
     t = inv.shape[0]
-    tpad = ((t + TRI_CHUNK - 1) // TRI_CHUNK) * TRI_CHUNK
+    # the PACK pads to whole superclusters (_SC * TRI_CHUNK columns) so
+    # the sc walk's (16, 1024) DMA of the last scheduled entry stays in
+    # bounds (max active cluster c-1 -> DMA end ceil(c/8)*1024, which
+    # equals this rounding of t exactly); CLUSTER bounds still cover
+    # only the real ceil(t/128) chunks — padded clusters would need
+    # always-miss AABBs, and (inf, inf) boxes spuriously slab-hit
+    tpad = ((t + _SC * TRI_CHUNK - 1)
+            // (_SC * TRI_CHUNK)) * (_SC * TRI_CHUNK)
     out = np.zeros((tpad, 16), np.float32)
     out[:t, 0:9] = inv.reshape(t, 9)
     out[:t, 9:12] = np.einsum("tij,tj->ti", inv, v0)
@@ -495,7 +502,7 @@ def pack_triangles_ordered(geom: Geometry, order: np.ndarray):
     v1, v2 = v0 + e1, v0 + e2
     tmin = np.minimum(np.minimum(v0, v1), v2)
     tmax = np.maximum(np.maximum(v0, v1), v2)
-    c = tpad // TRI_CHUNK
+    c = (t + TRI_CHUNK - 1) // TRI_CHUNK
     cmin = np.full((c, TRI_CHUNK, 3), np.inf, np.float32)
     cmax = np.full((c, TRI_CHUNK, 3), -np.inf, np.float32)
     cmin.reshape(-1, 3)[:t] = tmin
@@ -1980,9 +1987,8 @@ def _prepass_block_vals(cb_ref, ox, oy, oz, ix, iy, iz, t_min, n_real,
 
 
 def _kernel_prepass_groups(cb_ref, ox, oy, oz, ix, iy, iz, scal_ref,
-                           ghit_ref, tn_ref, texit_ref, md_ref=None,
-                           gate_ref=None):
-    """Group-granular cluster visibility pre-pass.
+                           ghit_ref, tn_ref, texit_ref, md_ref=None):
+    """Group-granular cluster visibility pre-pass (dense grid form).
 
     Transposed ray layout: (8, 128) blocks with lane = group, sublane =
     ray slot. One grid step = (tile i) x (128-cluster block j); per slot
@@ -1994,57 +2000,99 @@ def _kernel_prepass_groups(cb_ref, ox, oy, oz, ix, iy, iz, scal_ref,
     slab entry lies beyond the ray's segment are culled: every triangle
     of the cluster then has t >= tn > maxd, outside the any-hit window.
 
-    With gate_ref ((tiles, nblocks) i32 in SMEM — the two-level
-    schedule for HBM-scale scenes) a whole 128-cluster block is SKIPPED
-    when no ray of the tile hits the block's union AABB. Slab hits are
-    float-monotone under box inclusion (_part_may_hit's argument), so
-    gate == 0 implies every member cluster's exact test also misses —
-    the skipped block's outputs (zero masks, inf entries, no exit
-    contribution) are bitwise what the dense pass would have written."""
+    HBM-scale scenes (>= _GATE_MIN_BLOCKS blocks) use the FUSED gated
+    form instead (_kernel_prepass_groups_fused)."""
     t_min = scal_ref[0]
     n_real = scal_ref[1]
     j = pl.program_id(1)
-    if gate_ref is None:
-        ghit, tn, ex = _prepass_block_vals(
-            cb_ref, ox, oy, oz, ix, iy, iz, t_min, n_real, j, md_ref
-        )
-
-        @pl.when(j == 0)
-        def _():
-            texit_ref[0] = jnp.maximum(ex, t_min)
-
-        @pl.when(j > 0)
-        def _():
-            texit_ref[0] = jnp.maximum(texit_ref[0], ex)
-
-        ghit_ref[0] = ghit
-        tn_ref[0] = tn
-        return
-    i = pl.program_id(0)
+    ghit, tn, ex = _prepass_block_vals(
+        cb_ref, ox, oy, oz, ix, iy, iz, t_min, n_real, j, md_ref
+    )
 
     @pl.when(j == 0)
     def _():
-        texit_ref[0] = jnp.full(
-            (GROUP, RAY_TILE), t_min, jnp.float32
-        )
+        texit_ref[0] = jnp.maximum(ex, t_min)
 
-    gate = gate_ref[i, j]
-
-    @pl.when(gate != 0)
+    @pl.when(j > 0)
     def _():
-        ghit, tn, ex = _prepass_block_vals(
-            cb_ref, ox, oy, oz, ix, iy, iz, t_min, n_real, j, md_ref
-        )
         texit_ref[0] = jnp.maximum(texit_ref[0], ex)
-        ghit_ref[0] = ghit
-        tn_ref[0] = tn
 
-    @pl.when(gate == 0)
-    def _():
-        ghit_ref[0] = jnp.zeros((GROUP, TRI_CHUNK), jnp.float32)
-        tn_ref[0] = jnp.full(
-            (GROUP, TRI_CHUNK), jnp.inf, jnp.float32
-        )
+    ghit_ref[0] = ghit
+    tn_ref[0] = tn
+
+
+def _kernel_prepass_groups_fused(cb_ref, ox, oy, oz, ix, iy, iz,
+                                 scal_ref, ghit_ref, tn_ref, texit_ref,
+                                 texit_acc, md_ref=None, gate_ref=None):
+    """Gated prepass with the BLOCK loop inside the kernel.
+
+    The grid-per-block formulation pays ~0.8 us of Mosaic step overhead
+    per (tile, 128-cluster block) even for gated-off blocks — measured
+    1.65 ms/call of pure floor at 16.4k clusters (38% of the dense
+    cost, benchmarks/prepass_gate_probe.py). Here the grid is (tiles,)
+    and a fori_loop walks the blocks with the whole cluster-bounds pack
+    resident in VMEM; a skipped block costs a scalar branch + two
+    (8, 128) zero stores."""
+    i = pl.program_id(0)
+    t_min = scal_ref[0]
+    n_real = scal_ref[1]
+    nblk = cb_ref.shape[1] // TRI_CHUNK
+    texit_acc[...] = jnp.full((GROUP, RAY_TILE), t_min, jnp.float32)
+
+    def body(j, carry):
+        gate = gate_ref[i, j]
+
+        @pl.when(gate != 0)
+        def _():
+            blk = cb_ref[:, pl.ds(j * TRI_CHUNK, TRI_CHUNK)]
+            ghit, tn, ex = _prepass_block_vals(
+                _ValueRef(blk), ox, oy, oz, ix, iy, iz, t_min,
+                n_real, j, md_ref
+            )
+            texit_acc[...] = jnp.maximum(texit_acc[...], ex)
+            ghit_ref[0, :, pl.ds(j * TRI_CHUNK, TRI_CHUNK)] = ghit
+            tn_ref[0, :, pl.ds(j * TRI_CHUNK, TRI_CHUNK)] = tn
+
+        @pl.when(gate == 0)
+        def _():
+            ghit_ref[0, :, pl.ds(j * TRI_CHUNK, TRI_CHUNK)] = (
+                jnp.zeros((GROUP, TRI_CHUNK), jnp.float32)
+            )
+            tn_ref[0, :, pl.ds(j * TRI_CHUNK, TRI_CHUNK)] = jnp.full(
+                (GROUP, TRI_CHUNK), jnp.inf, jnp.float32
+            )
+
+        return carry
+
+    jax.lax.fori_loop(0, nblk, body, 0)
+    texit_ref[0] = texit_acc[...]
+
+
+class _ValueRef:
+    """Adapter: lets _prepass_block_vals read a materialized block value
+    through its `ref[...]` access."""
+
+    def __init__(self, v):
+        self._v = v
+
+    def __getitem__(self, idx):
+        return self._v[idx] if idx is not Ellipsis else self._v
+
+
+def _kernel_prepass_groups_fused_plain(cb, ox, oy, oz, ix, iy, iz,
+                                       gate, scal, ghit, tn, texit,
+                                       texit_acc):
+    _kernel_prepass_groups_fused(cb, ox, oy, oz, ix, iy, iz, scal,
+                                 ghit, tn, texit, texit_acc,
+                                 gate_ref=gate)
+
+
+def _kernel_prepass_groups_fused_seg(cb, ox, oy, oz, ix, iy, iz, md,
+                                     gate, scal, ghit, tn, texit,
+                                     texit_acc):
+    _kernel_prepass_groups_fused(cb, ox, oy, oz, ix, iy, iz, scal,
+                                 ghit, tn, texit, texit_acc,
+                                 md_ref=md, gate_ref=gate)
 
 
 def _kernel_prepass_groups_seg(cb_ref, ox, oy, oz, ix, iy, iz, md,
@@ -2052,22 +2100,6 @@ def _kernel_prepass_groups_seg(cb_ref, ox, oy, oz, ix, iy, iz, md,
     """Segment-bounded (any-hit) variant: extra per-ray maxd operand."""
     _kernel_prepass_groups(cb_ref, ox, oy, oz, ix, iy, iz, scal_ref,
                            ghit_ref, tn_ref, texit_ref, md_ref=md)
-
-
-def _kernel_prepass_groups_gate(cb_ref, ox, oy, oz, ix, iy, iz, gate,
-                                scal_ref, ghit_ref, tn_ref, texit_ref):
-    """Block-gated variant (two-level schedule, closest-hit)."""
-    _kernel_prepass_groups(cb_ref, ox, oy, oz, ix, iy, iz, scal_ref,
-                           ghit_ref, tn_ref, texit_ref, gate_ref=gate)
-
-
-def _kernel_prepass_groups_seg_gate(cb_ref, ox, oy, oz, ix, iy, iz, md,
-                                    gate, scal_ref, ghit_ref, tn_ref,
-                                    texit_ref):
-    """Block-gated + segment-bounded variant (any-hit at scale)."""
-    _kernel_prepass_groups(cb_ref, ox, oy, oz, ix, iy, iz, scal_ref,
-                           ghit_ref, tn_ref, texit_ref, md_ref=md,
-                           gate_ref=gate)
 
 
 _GATE_MIN_BLOCKS = 16   # block-gate the prepass only past 2048 clusters
@@ -2126,7 +2158,7 @@ def _block_gate(cluster_min, cluster_max, comps, t_min, tiles, c,
 
 
 def _prepass_groups(cluster_min, cluster_max, comps, t_min, b,
-                    maxd=None, _no_gate=False):
+                    maxd=None, _no_gate=False, _force_dense=False):
     """Run the group pre-pass on transposed ray comps.
 
     comps: 6 arrays (tiles*8, 128); maxd optionally a 7th (segment
@@ -2152,7 +2184,7 @@ def _prepass_groups(cluster_min, cluster_max, comps, t_min, b,
             jnp.zeros((2, cpad), jnp.float32),
         ]
     )                                         # (8, Cpad)
-    gated = (not _no_gate
+    gated = (not _no_gate and not _force_dense
              and cpad // TRI_CHUNK >= _GATE_MIN_BLOCKS)
     gate_ops = ()
     if gated:
@@ -2186,25 +2218,65 @@ def _prepass_groups(cluster_min, cluster_max, comps, t_min, b,
             jnp.any(bghit[:, :, :nblk] > 0.0, axis=1) & real[None, :]
         )
         gate_ops = (gate.astype(jnp.int32),)
+    scal = jnp.stack([
+        jnp.asarray(t_min, jnp.float32),
+        jnp.asarray(float(c), jnp.float32),
+    ])
+    out_shape = [
+        jax.ShapeDtypeStruct((tiles, GROUP, cpad), jnp.float32),
+        jax.ShapeDtypeStruct((tiles, GROUP, cpad), jnp.float32),
+        jax.ShapeDtypeStruct((tiles, GROUP, RAY_TILE), jnp.float32),
+    ]
+    if gated:
+        # fused formulation: grid over tiles only, blocks walked by an
+        # in-kernel fori_loop — a gated-off block costs a scalar branch
+        # instead of a ~0.8 us Mosaic grid step (1.65 ms/call of pure
+        # floor at 16.4k clusters, prepass_gate_probe.py)
+        ray_spec1 = pl.BlockSpec(
+            (GROUP, RAY_TILE), lambda i: (i, 0),
+            memory_space=pltpu.VMEM,
+        )
+        ghit, tn, texit = _pallas_call(
+            _kernel_prepass_groups_fused_plain if maxd is None
+            else _kernel_prepass_groups_fused_seg,
+            grid=(tiles,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)]
+            + [ray_spec1] * (6 if maxd is None else 7)
+            + [pl.BlockSpec(memory_space=pltpu.SMEM)] * 2,
+            out_specs=[
+                pl.BlockSpec((1, GROUP, cpad), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, GROUP, cpad), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, GROUP, RAY_TILE),
+                             lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=out_shape,
+            scratch_shapes=[
+                pltpu.VMEM((GROUP, RAY_TILE), jnp.float32),
+            ],
+        )(
+            cb, ox, oy, oz, ix, iy, iz,
+            *(() if maxd is None else (maxd,)),
+            *gate_ops,
+            scal,
+        )
+        return ghit, tn[:, 0, :], texit, c, cpad
     ray_spec = pl.BlockSpec(
         (GROUP, RAY_TILE), lambda i, j: (i, 0),
         memory_space=pltpu.VMEM,
     )
-    kernel = {
-        (False, False): _kernel_prepass_groups,
-        (True, False): _kernel_prepass_groups_seg,
-        (False, True): _kernel_prepass_groups_gate,
-        (True, True): _kernel_prepass_groups_seg_gate,
-    }[(maxd is not None, gated)]
     ghit, tn, texit = _pallas_call(
-        kernel,
+        _kernel_prepass_groups if maxd is None
+        else _kernel_prepass_groups_seg,
         grid=(tiles, cpad // TRI_CHUNK),
         in_specs=[
             pl.BlockSpec((8, TRI_CHUNK), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM)
         ]
         + [ray_spec] * (6 if maxd is None else 7)
-        + [pl.BlockSpec(memory_space=pltpu.SMEM)] * (2 if gated else 1),
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_specs=[
             pl.BlockSpec((1, GROUP, TRI_CHUNK),
                          lambda i, j: (i, 0, j),
@@ -2216,34 +2288,50 @@ def _prepass_groups(cluster_min, cluster_max, comps, t_min, b,
                          lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_shape=[
-            jax.ShapeDtypeStruct((tiles, GROUP, cpad), jnp.float32),
-            jax.ShapeDtypeStruct((tiles, GROUP, cpad), jnp.float32),
-            jax.ShapeDtypeStruct((tiles, GROUP, RAY_TILE), jnp.float32),
-        ],
+        out_shape=out_shape,
     )(
         cb, ox, oy, oz, ix, iy, iz,
         *(() if maxd is None else (maxd,)),
-        *gate_ops,
-        jnp.stack([
-            jnp.asarray(t_min, jnp.float32),
-            jnp.asarray(float(c), jnp.float32),
-        ]),
+        scal,
     )
     return ghit, tn[:, 0, :], texit, c, cpad
 
 
+_SC = 8                  # clusters per SUPERCLUSTER schedule entry
+_SC_MIN_CLUSTERS = 1 << 30   # SUPERCLUSTER WALK: measured WASH on the
+                         # 2.1M-tri scene (device 306 vs 298 ms; walk
+                         # 1.211 vs 1.243 ms/call, sort -0.14, glue
+                         # +0.3) — the per-visit overhead it amortizes
+                         # (one DMA + key read per 8 clusters) is NOT
+                         # where the zero_mask 55 ms lives; that is the
+                         # per-MEMBER word loads + pop loops, which the
+                         # sc walk pays identically. Kept fully tested
+                         # (TestSCWalk forces it via this threshold)
+                         # as the documented two-level-walk experiment;
+                         # lower to ~2048 to re-enable at HBM scale.
+
+
+def _sc_mode(n_clusters):
+    return n_clusters >= _SC_MIN_CLUSTERS
+
+
 def _cluster_list_groups(cluster_min, cluster_max, comps, t_min, b,
-                         maxd=None):
+                         maxd=None, sc=False):
     """Schedule + group masks for the grouped kernel.
 
-    Returns (count (tiles,), keys (tiles, Cpad), gmask
-    (tiles, 4, Cpad) i32 — 128 group bits per SCHEDULE ENTRY (sorted
-    into schedule order alongside the keys, so the walk reads masks
-    positionally and the schedule can stream through a small SMEM ring
-    instead of sitting cid-indexed and whole in SMEM), lostep
-    (tiles, 2) distance-bucket dequantization, texit
-    (tiles, 8, 128) per-ray interest bounds)."""
+    Returns (count (tiles,), keys (tiles, E), mask_rows
+    (tiles, R, E) i32, lostep (tiles, 2), texit (tiles, 8, 128)).
+
+    Per-cluster mode (small scenes): E = Cpad entries, R = 4 rows of
+    128 group bits per SCHEDULE ENTRY (sorted into schedule order
+    alongside the keys, so the walk reads masks positionally and the
+    schedule can stream through a small SMEM ring).
+
+    Supercluster mode (>= _SC_MIN_CLUSTERS): E = Cpad/8 entries, each
+    one _SC consecutive clusters = one contiguous (16, 1024) tri DMA;
+    R = 33 rows — member m's four group words at rows 4m..4m+3 and an
+    active-member bitmap at row 32. Entry order is (min member entry
+    distance bucket, sc id); members pop in id order."""
     ghit, tn, texit, c, cpad = _prepass_groups(
         cluster_min, cluster_max, comps, t_min, b, maxd=maxd
     )
@@ -2255,51 +2343,77 @@ def _cluster_list_groups(cluster_min, cluster_max, comps, t_min, b,
     active = jnp.any(ghit > 0.0, axis=1) & (
         jnp.arange(cpad)[None, :] < c
     )
-    count = jnp.sum(active, axis=1).astype(jnp.int32)
+    if sc:
+        ne = cpad // _SC
+        act_m = active.reshape(tiles, ne, _SC)
+        entry_act = jnp.any(act_m, axis=-1)
+        tn_entry = jnp.min(
+            jnp.where(act_m, tn.reshape(tiles, ne, _SC), jnp.inf),
+            axis=-1,
+        )
+        mem_bits = jnp.sum(
+            jnp.where(
+                act_m,
+                jnp.left_shift(
+                    jnp.int32(1), jnp.arange(_SC, dtype=jnp.int32)
+                )[None, None, :],
+                0,
+            ),
+            axis=-1,
+            dtype=jnp.int32,
+        )
+    else:
+        ne = cpad
+        entry_act = active
+        tn_entry = tn
+    count = jnp.sum(entry_act, axis=1).astype(jnp.int32)
 
     # front-to-back bucket quantization (same scheme as _cluster_list)
-    tn_act = jnp.where(active, tn, jnp.inf)
+    tn_act = jnp.where(entry_act, tn_entry, jnp.inf)
     lo = jnp.min(tn_act, axis=1)
-    hi = jnp.max(jnp.where(active, tn, -jnp.inf), axis=1)
+    hi = jnp.max(jnp.where(entry_act, tn_entry, -jnp.inf), axis=1)
     lo = jnp.where(jnp.isfinite(lo), lo, 0.0)
     hi = jnp.where(jnp.isfinite(hi), hi, 0.0)
     step = jnp.maximum((hi - lo) / (_BUCKETS - 1), 1e-30)
     bucket = jnp.clip(
-        ((tn - lo[:, None]) / step[:, None]).astype(jnp.int32),
+        ((tn_entry - lo[:, None]) / step[:, None]).astype(jnp.int32),
         0, _BUCKETS - 1,
     )
-    bucket = jnp.where(active, bucket, 0)
+    bucket = jnp.where(entry_act, bucket, 0)
     iota = jnp.broadcast_to(
-        jnp.arange(cpad, dtype=jnp.int32)[None, :], (tiles, cpad)
+        jnp.arange(ne, dtype=jnp.int32)[None, :], (tiles, ne)
     )
     keys = (
-        jnp.where(active, 0, jnp.int32(1) << 30)
+        jnp.where(entry_act, 0, jnp.int32(1) << 30)
         | (bucket << _BUCKET_SHIFT)
         | iota
     )
     # Front-to-back compacted schedule in the glue: XLA's minor-dim
-    # sort of (tiles, cpad) i32 costs ~0.02 ms (the 3.8 ms round-2
+    # sort of (tiles, E) i32 costs ~0.02 ms (the 3.8 ms round-2
     # number was ONE 64k-long sort) — the in-kernel scalar counting
-    # sort/compaction it replaces measured ~20k cycles/tile (1.3 ms of
-    # a 2.2 ms kernel, benchmarks/visit_probe.py). Inactive keys carry
-    # bit 30 and sink to the tail; active ones order by (distance
-    # bucket, cluster id). The four group-mask words ride the sort as
-    # values (keys are unique — iota is a key field — so the order is
-    # bit-identical to sorting keys alone): the walk then reads masks
-    # POSITIONALLY, which lets the schedule stream through a small
-    # SMEM ring instead of sitting cid-indexed and whole in SMEM.
-    # keys are UNIQUE (iota is a key field), so an unstable sort is
-    # bit-identical to a stable one — and XLA's stable lowering adds a
-    # seventh iota tiebreak operand to the comparator (measured in the
-    # stress2m HLO), pure waste here
-    keys, m0, m1, m2, m3 = jax.lax.sort(
-        (keys, gmask[:, 0, :], gmask[:, 1, :], gmask[:, 2, :],
-         gmask[:, 3, :]),
-        dimension=-1, num_keys=1, is_stable=False,
-    )
-    gmask_sched = jnp.stack([m0, m1, m2, m3], axis=1)  # (tiles, 4, cpad)
+    # sort/compaction it replaces measured ~20k cycles/tile. Inactive
+    # keys carry bit 30 and sink to the tail. The mask words ride the
+    # sort as values (keys are UNIQUE — iota is a key field — so an
+    # unstable sort is bit-identical, and XLA's stable lowering would
+    # add an iota tiebreak operand, pure waste).
+    if sc:
+        gm = gmask.reshape(tiles, 4, ne, _SC)
+        vals = [gm[:, w, :, m] for m in range(_SC) for w in range(4)]
+        vals.append(mem_bits)
+        srt = jax.lax.sort((keys, *vals), dimension=-1,
+                           num_keys=1, is_stable=False)
+        keys = srt[0]
+        mask_rows = jnp.stack(srt[1:], axis=1)  # (tiles, 33, ne)
+    else:
+        srt = jax.lax.sort(
+            (keys, gmask[:, 0, :], gmask[:, 1, :], gmask[:, 2, :],
+             gmask[:, 3, :]),
+            dimension=-1, num_keys=1, is_stable=False,
+        )
+        keys = srt[0]
+        mask_rows = jnp.stack(srt[1:], axis=1)  # (tiles, 4, ne)
     lostep = jnp.stack([lo, step], axis=1)          # (tiles, 2)
-    return count, keys, gmask_sched, lostep, texit
+    return count, keys, mask_rows, lostep, texit
 
 
 def _log2_onehot(m):
@@ -2740,6 +2854,192 @@ def _kernel_grouped_dma(count_ref, lostep_ref, tmin_ref,
     )
 
 
+def _kernel_grouped_dma_sc(count_ref, lostep_ref, tmin_ref,
+                           sched_hbm, comp_hbm, tri_hbm,
+                           out_ref,
+                           scratch, sem, tcand, icand,
+                           smem_ring, smem_sem,
+                           comp_ring, comp_sem, bcast):
+    """Supercluster walk: one schedule entry = _SC consecutive clusters
+    = one contiguous (16, _SC*128) tri DMA. Active members pop from a
+    per-entry bitmap (schedule row 33) and reuse the per-cluster pair
+    machinery on a 128-lane slice of the fetched pack. Amortizes the
+    per-visit overhead (DMA management + schedule reads — 55% of the
+    2m walk, benchmarks/walk_cost_probe.py) over 8 clusters."""
+    i = pl.program_id(0)
+    n_tiles = pl.num_programs(0)
+    cur = jax.lax.rem(i, 2)
+    nxt = jax.lax.rem(i + 1, 2)
+    prologue, advance, sched_at, mask_at = _sched_stream(
+        sched_hbm, smem_ring, smem_sem, i, n_tiles
+    )
+
+    def comp_dma(slot, t):
+        return pltpu.make_async_copy(
+            comp_hbm.at[t], comp_ring.at[slot], comp_sem.at[slot]
+        )
+
+    @pl.when(i == 0)
+    def _():
+        comp_dma(0, 0).start()
+
+    @pl.when(i + 1 < n_tiles)
+    def _():
+        comp_dma(nxt, i + 1).start()
+
+    prologue()
+    comp_dma(cur, i).wait()
+
+    if not _SKIP_EXPAND:
+        for c in range(6):
+            for g in range(GROUPS_PER_TILE):
+                bcast[c * RAYS_PER_TILE + g * GROUP:
+                      c * RAYS_PER_TILE + (g + 1) * GROUP, :] = (
+                    jnp.broadcast_to(
+                        comp_ring[cur, c * GROUP:(c + 1) * GROUP,
+                                  g:g + 1],
+                        (GROUP, RAY_TILE),
+                    )
+                )
+
+    n_active = count_ref[i]
+    t_min = tmin_ref[0]
+    t_cut = jnp.maximum(jnp.float32(1.000000082740371e-08), t_min)
+    cpad = sched_hbm.shape[2]
+
+    def get_dma(slot, k):
+        scid = sched_at(k) & (_GMAX_CLUSTERS - 1)
+        return pltpu.make_async_copy(
+            tri_hbm.at[:, pl.ds(scid * (_SC * TRI_CHUNK),
+                                _SC * TRI_CHUNK)],
+            scratch.at[slot],
+            sem.at[slot],
+        )
+
+    def prime(k, carry):
+        @pl.when(k < n_active)
+        def _():
+            get_dma(jax.lax.rem(k, _DMA_RING), k).start()
+
+        return carry
+
+    jax.lax.fori_loop(0, _DMA_RING - 1, prime, 0)
+
+    if not _SKIP_FILLS:
+        tcand[...] = jnp.full(
+            (GROUP, GROUPS_PER_TILE * TRI_CHUNK), jnp.inf
+        )
+        icand[...] = jnp.full(
+            (GROUP, GROUPS_PER_TILE * TRI_CHUNK), _BIG_ID, jnp.int32
+        )
+
+    lane_iota = jax.lax.broadcasted_iota(
+        jnp.int32, (GROUP, RAY_TILE), 1
+    )
+    tri_iota = jax.lax.broadcasted_iota(
+        jnp.int32, (GROUP, TRI_CHUNK), 1
+    )
+
+    def body(k, carry):
+        advance(k, n_active)
+        slot = jax.lax.rem(k, _DMA_RING)
+        ahead = jnp.minimum(k + _DMA_RING - 1, cpad - 1)
+
+        @pl.when(k + _DMA_RING - 1 < n_active)
+        def _():
+            get_dma(jax.lax.rem(ahead, _DMA_RING), ahead).start()
+
+        get_dma(slot, k).wait()
+
+        scid = sched_at(k) & (_GMAX_CLUSTERS - 1)
+
+        def mem_body(mm):
+            mb = mm & (-mm)
+            m = _log2_onehot(mb)
+            trb = scratch[slot, :, pl.ds(m * TRI_CHUNK, TRI_CHUNK)]
+            (r0, r1, r2, r3, r4, r5, r6, r7, r8, r9, r10, r11) = [
+                trb[kk:kk + 1, :] for kk in range(12)
+            ]
+            ids_lane = tri_iota + (scid * _SC + m) * TRI_CHUNK
+
+            def process_group(g):
+                s0 = g * GROUP
+
+                def ext(c):
+                    return bcast[
+                        pl.ds(c * RAYS_PER_TILE + s0, GROUP), :
+                    ]
+
+                rox, roy, roz = ext(0), ext(1), ext(2)
+                rdx, rdy, rdz = ext(3), ext(4), ext(5)
+                os_ = r6 * rox + r7 * roy + r8 * roz - r11
+                ds_ = r6 * rdx + r7 * rdy + r8 * rdz
+                t = -os_ / ds_
+                u = (
+                    r0 * rox + r1 * roy + r2 * roz - r9
+                ) + t * (r0 * rdx + r1 * rdy + r2 * rdz)
+                v = (
+                    r3 * rox + r4 * roy + r5 * roz - r10
+                ) + t * (r3 * rdx + r4 * rdy + r5 * rdz)
+                ok = (
+                    (jnp.minimum(u, v) >= 0.0) & (u + v <= 1.0)
+                    & (t >= t_cut)
+                )
+                off = g * TRI_CHUNK
+                tcur = tcand[:, pl.ds(off, TRI_CHUNK)]
+                icur = icand[:, pl.ds(off, TRI_CHUNK)]
+                better = ok & (t < tcur)
+                tcand[:, pl.ds(off, TRI_CHUNK)] = jnp.where(
+                    better, t, tcur
+                )
+                icand[:, pl.ds(off, TRI_CHUNK)] = jnp.where(
+                    better, ids_lane, icur
+                )
+
+            for w in range(4):
+                def bit_body(gm):
+                    lb1 = gm & (-gm)
+                    gm1 = gm & (gm - 1)
+                    lb2 = gm1 & (-gm1)
+                    gm2 = gm1 & (gm1 - 1)
+                    g1 = w * 32 + _log2_onehot(lb1)
+                    g2 = jnp.where(lb2 != 0,
+                                   w * 32 + _log2_onehot(lb2), g1)
+                    process_group(g1)
+                    process_group(g2)
+                    return gm2
+
+                jax.lax.while_loop(
+                    lambda gm: gm != 0, bit_body,
+                    mask_at(m * 4 + w, k),
+                )
+            return mm & (mm - 1)
+
+        jax.lax.while_loop(lambda mm: mm != 0, mem_body,
+                           mask_at(_SC * 4, k))
+        return carry
+
+    if not _SKIP_WALK:
+        jax.lax.fori_loop(0, n_active, body, 0)
+
+    tacc = jnp.full((GROUP, RAY_TILE), jnp.inf)
+    iacc = jnp.zeros((GROUP, RAY_TILE), jnp.int32)
+    for g in range(GROUPS_PER_TILE):
+        tg = tcand[:, g * TRI_CHUNK:(g + 1) * TRI_CHUNK]
+        ig = icand[:, g * TRI_CHUNK:(g + 1) * TRI_CHUNK]
+        tw = jnp.min(tg, axis=1, keepdims=True)
+        iw = jnp.min(
+            jnp.where(tg == tw, ig, _BIG_ID), axis=1, keepdims=True
+        )
+        sel = lane_iota == g
+        tacc = jnp.where(sel, tw, tacc)
+        iacc = jnp.where(sel, iw, iacc)
+    out_ref[0:GROUP, :] = tacc
+    out_ref[GROUP:2 * GROUP, :] = jax.lax.bitcast_convert_type(
+        jnp.where(jnp.isfinite(tacc), iacc, 0), jnp.float32
+    )
+
+
 @partial(jax.jit, static_argnames=("zero_mask", "parallel", "zero_sched",
                                    "tiny_smem"))
 def pallas_closest_tuv_dma_grouped(tri_pack, cluster_min, cluster_max,
@@ -2770,8 +3070,9 @@ def pallas_closest_tuv_dma_grouped(tri_pack, cluster_min, cluster_max,
 
     comps = [tcomp(o[:, 0]), tcomp(o[:, 1]), tcomp(o[:, 2]),
              tcomp(d[:, 0]), tcomp(d[:, 1]), tcomp(d[:, 2])]
+    sc = _sc_mode(cluster_min.shape[0])
     count, keys, gmask, lostep, texit = _cluster_list_groups(
-        cluster_min, cluster_max, comps, t_min, b
+        cluster_min, cluster_max, comps, t_min, b, sc=sc
     )
     if zero_mask:
         gmask = gmask * 0
@@ -2782,15 +3083,19 @@ def pallas_closest_tuv_dma_grouped(tri_pack, cluster_min, cluster_max,
         keys = keys | (1 << 30)
     cpad = keys.shape[1]
 
-    # schedule pack (tiles, 8, cpad) i32: row 0 = sorted keys, rows
-    # 1..4 = group-mask words IN SCHEDULE ORDER, rows 5..7 pad (Mosaic
-    # DMA slices must cover whole 8-sublane tiles); streamed to SMEM by
-    # the kernel's chunked prefetch ring (_sched_stream). cpad rounds
-    # up to whole chunks so every chunk DMA slice is in bounds — the
-    # zero padding is never read (reads stop at n_active <= cpad).
+    # schedule pack (tiles, R, cpad) i32: row 0 = sorted keys, then the
+    # mask rows IN SCHEDULE ORDER (4 group words per cluster, or 32
+    # member words + member bitmap per supercluster), zero-padded to a
+    # multiple of 8 rows (Mosaic DMA slices must cover whole 8-sublane
+    # tiles); streamed to SMEM by the kernel's chunked prefetch ring
+    # (_sched_stream). cpad rounds up to whole chunks so every chunk
+    # DMA slice is in bounds — the zero padding is never read (reads
+    # stop at n_active <= cpad).
+    rows = 1 + gmask.shape[1]
+    rows_pad = (-rows) % 8
     sched_pack = jnp.concatenate(
         [keys[:, None, :], gmask,
-         jnp.zeros((tiles, 3, cpad), jnp.int32)], axis=1
+         jnp.zeros((tiles, rows_pad, cpad), jnp.int32)], axis=1
     )
     if cpad > _SCHED_CHUNK and cpad % _SCHED_CHUNK:
         pad = _SCHED_CHUNK - cpad % _SCHED_CHUNK
@@ -2802,6 +3107,7 @@ def pallas_closest_tuv_dma_grouped(tri_pack, cluster_min, cluster_max,
         sched_pack = sched_pack[:, :, :TRI_CHUNK]
         cpad = TRI_CHUNK
     n_slots, ch = _sched_slots(cpad)
+    n_rows = sched_pack.shape[1]
 
     # comp pack (tiles, 56, 128): the six COMPACT transposed comps
     # (sublane = ray slot, lane = group — the prepass layout) stacked
@@ -2815,8 +3121,28 @@ def pallas_closest_tuv_dma_grouped(tri_pack, cluster_min, cluster_max,
         + [texit],
         axis=1,
     )                            # (tiles, 7*8, 128)
+    scratch_shapes = [
+        pltpu.VMEM((_DMA_RING, 16,
+                    (_SC if sc else 1) * TRI_CHUNK), jnp.float32),
+        pltpu.SemaphoreType.DMA((_DMA_RING,)),
+        pltpu.VMEM((GROUP, GROUPS_PER_TILE * TRI_CHUNK),
+                   jnp.float32),
+        pltpu.VMEM((GROUP, GROUPS_PER_TILE * TRI_CHUNK),
+                   jnp.int32),
+    ]
+    if not sc:
+        scratch_shapes.append(
+            pltpu.VMEM((GROUP, RAY_TILE), jnp.float32)   # gbest
+        )
+    scratch_shapes += [
+        pltpu.SMEM((n_slots, n_rows, ch), jnp.int32),
+        pltpu.SemaphoreType.DMA((n_slots,)),
+        pltpu.VMEM((2, 7 * GROUP, RAY_TILE), jnp.float32),
+        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.VMEM((6 * RAYS_PER_TILE, RAY_TILE), jnp.float32),
+    ]
     out = _pallas_call(
-        _kernel_grouped_dma,
+        _kernel_grouped_dma_sc if sc else _kernel_grouped_dma,
         grid=(tiles,),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=(
@@ -2838,20 +3164,7 @@ def pallas_closest_tuv_dma_grouped(tri_pack, cluster_min, cluster_max,
         out_shape=jax.ShapeDtypeStruct(
             (tiles * 2 * GROUP, RAY_TILE), jnp.float32
         ),
-        scratch_shapes=[
-            pltpu.VMEM((_DMA_RING, 16, TRI_CHUNK), jnp.float32),
-            pltpu.SemaphoreType.DMA((_DMA_RING,)),
-            pltpu.VMEM((GROUP, GROUPS_PER_TILE * TRI_CHUNK),
-                       jnp.float32),
-            pltpu.VMEM((GROUP, GROUPS_PER_TILE * TRI_CHUNK),
-                       jnp.int32),
-            pltpu.VMEM((GROUP, RAY_TILE), jnp.float32),
-            pltpu.SMEM((n_slots, 8, ch), jnp.int32),
-            pltpu.SemaphoreType.DMA((n_slots,)),
-            pltpu.VMEM((2, 7 * GROUP, RAY_TILE), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.VMEM((6 * RAYS_PER_TILE, RAY_TILE), jnp.float32),
-        ],
+        scratch_shapes=scratch_shapes,
     )(
         count,
         lostep,
@@ -3050,6 +3363,158 @@ def _kernel_grouped_anyhit_dma(count_ref, sched_hbm, comp_hbm, tri_hbm,
     out_ref[...] = acc
 
 
+def _kernel_grouped_anyhit_dma_sc(count_ref, sched_hbm, comp_hbm,
+                                  tri_hbm, out_ref,
+                                  scratch, sem, hcand,
+                                  smem_ring, smem_sem,
+                                  comp_ring, comp_sem, bcast):
+    """Supercluster any-hit walk (see _kernel_grouped_dma_sc)."""
+    i = pl.program_id(0)
+    n_tiles = pl.num_programs(0)
+    cur = jax.lax.rem(i, 2)
+    nxt = jax.lax.rem(i + 1, 2)
+    prologue, advance, sched_at, mask_at = _sched_stream(
+        sched_hbm, smem_ring, smem_sem, i, n_tiles
+    )
+
+    def comp_dma(slot, t):
+        return pltpu.make_async_copy(
+            comp_hbm.at[t], comp_ring.at[slot], comp_sem.at[slot]
+        )
+
+    @pl.when(i == 0)
+    def _():
+        comp_dma(0, 0).start()
+
+    @pl.when(i + 1 < n_tiles)
+    def _():
+        comp_dma(nxt, i + 1).start()
+
+    prologue()
+    comp_dma(cur, i).wait()
+
+    for c in range(9):
+        for g in range(GROUPS_PER_TILE):
+            bcast[c * RAYS_PER_TILE + g * GROUP:
+                  c * RAYS_PER_TILE + (g + 1) * GROUP, :] = (
+                jnp.broadcast_to(
+                    comp_ring[cur, c * GROUP:(c + 1) * GROUP, g:g + 1],
+                    (GROUP, RAY_TILE),
+                )
+            )
+
+    n_active = count_ref[i]
+    cpad = sched_hbm.shape[2]
+
+    def get_dma(slot, k):
+        scid = sched_at(k) & (_GMAX_CLUSTERS - 1)
+        return pltpu.make_async_copy(
+            tri_hbm.at[:, pl.ds(scid * (_SC * TRI_CHUNK),
+                                _SC * TRI_CHUNK)],
+            scratch.at[slot],
+            sem.at[slot],
+        )
+
+    def prime(k, carry):
+        @pl.when(k < n_active)
+        def _():
+            get_dma(jax.lax.rem(k, _DMA_RING), k).start()
+
+        return carry
+
+    jax.lax.fori_loop(0, _DMA_RING - 1, prime, 0)
+
+    hcand[...] = jnp.zeros(
+        (GROUP, GROUPS_PER_TILE * TRI_CHUNK), jnp.float32
+    )
+    lane_iota = jax.lax.broadcasted_iota(
+        jnp.int32, (GROUP, RAY_TILE), 1
+    )
+
+    def body(k, carry):
+        advance(k, n_active)
+        slot = jax.lax.rem(k, _DMA_RING)
+        ahead = jnp.minimum(k + _DMA_RING - 1, cpad - 1)
+
+        @pl.when(k + _DMA_RING - 1 < n_active)
+        def _():
+            get_dma(jax.lax.rem(ahead, _DMA_RING), ahead).start()
+
+        get_dma(slot, k).wait()
+
+        def mem_body(mm):
+            mb = mm & (-mm)
+            m = _log2_onehot(mb)
+            trb = scratch[slot, :, pl.ds(m * TRI_CHUNK, TRI_CHUNK)]
+            (r0, r1, r2, r3, r4, r5, r6, r7, r8, r9, r10, r11) = [
+                trb[kk:kk + 1, :] for kk in range(12)
+            ]
+            prim_row = trb[12:13, :]
+
+            def process_group(g):
+                s0 = g * GROUP
+
+                def ext(c):
+                    return bcast[
+                        pl.ds(c * RAYS_PER_TILE + s0, GROUP), :
+                    ]
+
+                rox, roy, roz = ext(0), ext(1), ext(2)
+                rdx, rdy, rdz = ext(3), ext(4), ext(5)
+                rmax, rea, reb = ext(6), ext(7), ext(8)
+                os_ = r6 * rox + r7 * roy + r8 * roz - r11
+                ds_ = r6 * rdx + r7 * rdy + r8 * rdz
+                t = -os_ / ds_
+                u = (
+                    r0 * rox + r1 * roy + r2 * roz - r9
+                ) + t * (r0 * rdx + r1 * rdy + r2 * rdz)
+                v = (
+                    r3 * rox + r4 * roy + r5 * roz - r10
+                ) + t * (r3 * rdx + r4 * rdy + r5 * rdz)
+                ok = (
+                    (jnp.minimum(u, v) >= 0.0) & (u + v <= 1.0)
+                    & (t > 1e-5) & (t < rmax)
+                    & (prim_row != rea) & (prim_row != reb)
+                )
+                off = g * TRI_CHUNK
+                hcand[:, pl.ds(off, TRI_CHUNK)] = jnp.maximum(
+                    hcand[:, pl.ds(off, TRI_CHUNK)],
+                    ok.astype(jnp.float32),
+                )
+
+            for w in range(4):
+                def bit_body(gm):
+                    lb1 = gm & (-gm)
+                    gm1 = gm & (gm - 1)
+                    lb2 = gm1 & (-gm1)
+                    gm2 = gm1 & (gm1 - 1)
+                    g1 = w * 32 + _log2_onehot(lb1)
+                    g2 = jnp.where(lb2 != 0,
+                                   w * 32 + _log2_onehot(lb2), g1)
+                    process_group(g1)
+                    process_group(g2)
+                    return gm2
+
+                jax.lax.while_loop(
+                    lambda gm: gm != 0, bit_body,
+                    mask_at(m * 4 + w, k),
+                )
+            return mm & (mm - 1)
+
+        jax.lax.while_loop(lambda mm: mm != 0, mem_body,
+                           mask_at(_SC * 4, k))
+        return carry
+
+    jax.lax.fori_loop(0, n_active, body, jnp.int32(-1))
+
+    acc = jnp.zeros((GROUP, RAY_TILE), jnp.float32)
+    for g in range(GROUPS_PER_TILE):
+        hg = hcand[:, g * TRI_CHUNK:(g + 1) * TRI_CHUNK]
+        hw = jnp.max(hg, axis=1, keepdims=True)
+        acc = jnp.where(lane_iota == g, hw, acc)
+    out_ref[...] = acc
+
+
 @partial(jax.jit, static_argnames=())
 def pallas_occluded_dma_grouped(tri_pack, cluster_min, cluster_max,
                                 o, d, max_dist,
@@ -3090,26 +3555,30 @@ def pallas_occluded_dma_grouped(tri_pack, cluster_min, cluster_max,
     comps = [tcomp(o[:, 0]), tcomp(o[:, 1]), tcomp(o[:, 2]),
              tcomp(d[:, 0]), tcomp(d[:, 1]), tcomp(d[:, 2])]
     md_t, exa_t, exb_t = tcomp(max_dist), tcomp(exa), tcomp(exb)
+    sc = _sc_mode(cluster_min.shape[0])
     count, keys, gmask, _lostep, _texit = _cluster_list_groups(
-        cluster_min, cluster_max, comps, 1e-5, b, maxd=md_t
+        cluster_min, cluster_max, comps, 1e-5, b, maxd=md_t, sc=sc
     )
     cpad = keys.shape[1]
+    rows_pad = (-(1 + gmask.shape[1])) % 8
     sched_pack = jnp.concatenate(
         [keys[:, None, :], gmask,
-         jnp.zeros((tiles, 3, cpad), jnp.int32)], axis=1
+         jnp.zeros((tiles, rows_pad, cpad), jnp.int32)], axis=1
     )
     if cpad > _SCHED_CHUNK and cpad % _SCHED_CHUNK:
         pad = _SCHED_CHUNK - cpad % _SCHED_CHUNK
         sched_pack = jnp.pad(sched_pack, ((0, 0), (0, 0), (0, pad)))
         cpad += pad
     n_slots, ch = _sched_slots(cpad)
+    n_rows = sched_pack.shape[1]
     comp_pack = jnp.concatenate(
         [x.reshape(tiles, GROUP, GROUPS_PER_TILE)
          for x in comps + [md_t, exa_t, exb_t]],
         axis=1,
     )                            # (tiles, 9*8, 128)
     out = _pallas_call(
-        _kernel_grouped_anyhit_dma,
+        _kernel_grouped_anyhit_dma_sc if sc
+        else _kernel_grouped_anyhit_dma,
         grid=(tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -3125,11 +3594,12 @@ def pallas_occluded_dma_grouped(tri_pack, cluster_min, cluster_max,
             (tiles * GROUP, RAY_TILE), jnp.float32
         ),
         scratch_shapes=[
-            pltpu.VMEM((_DMA_RING, 16, TRI_CHUNK), jnp.float32),
+            pltpu.VMEM((_DMA_RING, 16,
+                        (_SC if sc else 1) * TRI_CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA((_DMA_RING,)),
             pltpu.VMEM((GROUP, GROUPS_PER_TILE * TRI_CHUNK),
                        jnp.float32),
-            pltpu.SMEM((n_slots, 8, ch), jnp.int32),
+            pltpu.SMEM((n_slots, n_rows, ch), jnp.int32),
             pltpu.SemaphoreType.DMA((n_slots,)),
             pltpu.VMEM((2, 9 * GROUP, RAY_TILE), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
