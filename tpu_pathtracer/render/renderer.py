@@ -547,13 +547,28 @@ class ProgressiveRenderer:
         self._rays_dev = self._rays_dev + rays.astype(jnp.float32)
         self._spp_host += self.settings.spp_per_pass
         if block:
-            jax.block_until_ready(self.film.accum)
+            self._barrier()
         self.render_seconds += time.perf_counter() - t0
         return self.film
 
+    def _barrier(self) -> None:
+        """Wait until every queued pass has executed.
+
+        jax.block_until_ready on the axon tunnel can return WITHOUT
+        draining the dispatch queue while the tunnel is still in async
+        mode (observed 2026-08-19 after a TPU-worker restart: 16
+        queued 1024^2 passes "synced" in 1.8 ms, inflating the bench
+        headline 1500x). A 4-byte VALUE fetch is the reliable barrier:
+        _rays_dev chains through every pass, so pulling it guarantees
+        the queue is drained. (This also flips the tunnel into sync
+        mode — a documented ~0.5 ms per subsequent dispatch, negligible
+        against a render pass.)"""
+        jax.block_until_ready(self.film.accum)
+        jax.device_get(self._rays_dev)
+
     def sync(self) -> None:
         t0 = time.perf_counter()
-        jax.block_until_ready(self.film.accum)
+        self._barrier()
         self.render_seconds += time.perf_counter() - t0
 
     def reset_stats(self) -> None:
