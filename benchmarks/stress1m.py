@@ -44,6 +44,11 @@ def main():
                     help="ALSO time a 3-way partitioned CulledScene in "
                          "the same process (controls for environment "
                          "drift between runs)")
+    ap.add_argument("--ab-balance", action="store_true",
+                    help="ALSO time balance_lanes=2 and =1 in the same "
+                         "process: wider calls amortize the per-call "
+                         "fixed costs (schedule sort, attr gather, "
+                         "glue) that grow with cluster count")
     args = ap.parse_args()
     n_tess = args.n or {"1m": 709, "2m": 1025}.get(args.tag, 709)
 
@@ -144,6 +149,25 @@ def main():
         print(f"A/B 3-part ({len(cs_p.parts)} parts): "
               f"{result['mrays_per_sec_3part']} Mrays/s "
               f"vs single-pack {result['mrays_per_sec']}")
+    if args.ab_balance:
+        import dataclasses as _dc
+
+        for k in (2, 1):
+            s_k = _dc.replace(s, balance_lanes=k)
+            r_k = ProgressiveRenderer(geom, cam, s_k, culled=cs)
+            r_k.step()
+            r_k.reset_stats()
+            t0 = time.time()
+            passes = 0
+            while passes < 3 or (time.time() - t0 < 8.0 and passes < 12):
+                r_k.step(block=False)
+                passes += 1
+            r_k.sync()
+            result[f"mrays_per_sec_k{k}"] = round(r_k.mrays_per_sec, 2)
+            print(f"A/B balance_lanes={k}: "
+                  f"{result[f'mrays_per_sec_k{k}']} Mrays/s "
+                  f"vs K=4 {result['mrays_per_sec']}")
+
     with open(os.path.join(HERE, f"stress{args.tag}_result.json"),
               "w") as f:
         json.dump(result, f, indent=1)
