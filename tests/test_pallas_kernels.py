@@ -636,8 +636,10 @@ class TestGatedPrepass:
         return [tcomp(o[:, 0]), tcomp(o[:, 1]), tcomp(o[:, 2]),
                 tcomp(d[:, 0]), tcomp(d[:, 1]), tcomp(d[:, 2])], tcomp
 
+    @pytest.mark.parametrize("qgran", [32, 8])
     @pytest.mark.parametrize("with_maxd", [False, True])
-    def test_gated_prepass_bitwise(self, monkeypatch, with_maxd):
+    def test_gated_prepass_bitwise(self, monkeypatch, with_maxd,
+                                   qgran):
         # clusters along a line (median-split-like order): block unions
         # are disjoint, so the gate actually fires for localized rays
         rng = np.random.default_rng(1)
@@ -660,6 +662,8 @@ class TestGatedPrepass:
         dense = ip._prepass_groups(cmin, cmax, comps, 1e-4, n,
                                    maxd=maxd)
         monkeypatch.setattr(ip, "_GATE_MIN_BLOCKS", 1)
+        monkeypatch.setattr(ip, "_QGRAN", qgran)
+        monkeypatch.setattr(ip, "_QPB", ip.TRI_CHUNK // qgran)
         gated = ip._prepass_groups(cmin, cmax, comps, 1e-4, n,
                                    maxd=maxd)
         gate = ip._block_gate(cmin, cmax, comps, 1e-4,
@@ -667,6 +671,14 @@ class TestGatedPrepass:
                               maxd=maxd)
         # the scenario must exercise BOTH branches of the gate
         assert 0.0 < float(gate.mean()) < 1.0
+        # ... and the SUB-BLOCK bits: some ON blocks must carry a
+        # strictly partial quarter word, so the in-block quarter-skip
+        # path is actually what the bitwise equality above certified
+        word = np.asarray(ip._quarter_gate(
+            cmin, cmax, comps, 1e-4, n, c, dense[4], maxd=maxd
+        ))
+        full = (1 << ip._QPB) - 1
+        assert np.any((word > 0) & (word < full))
         for name, a, b in zip(("ghit", "tn", "texit"), dense[:3],
                               gated[:3]):
             np.testing.assert_array_equal(

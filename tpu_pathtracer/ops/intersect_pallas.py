@@ -2021,9 +2021,94 @@ def _kernel_prepass_groups(cb_ref, ox, oy, oz, ix, iy, iz, scal_ref,
     tn_ref[0] = tn
 
 
+_QGRAN = int(os.environ.get("TPT_QGRAN", "32"))
+                        # SUB-BLOCK gate granularity (clusters per gate
+                        # bit): the fused gate word carries one bit per
+                        # _QGRAN-cluster quarter of a 128-cluster block,
+                        # and an ON block's OFF quarters skip their slab
+                        # arithmetic entirely. Probe (subgate_probe.py,
+                        # 2.1M scene): bounce on-fraction 0.64 at 128-
+                        # gran vs 0.29 at 32 (0.089 at 8) — so ~55%
+                        # (86%) of the in-block slab work is dead at
+                        # 128 granularity. Must divide TRI_CHUNK and be
+                        # a multiple of 8: the scratch writes land at
+                        # sublane offsets q*_QGRAN (static multiples of
+                        # 8 — Mosaic-legal). Env-switchable for A/B.
+assert TRI_CHUNK % _QGRAN == 0 and _QGRAN % 8 == 0, _QGRAN
+_QPB = TRI_CHUNK // _QGRAN
+
+
+def _prepass_quarter_vals(blk, q, ox, oy, oz, ix, iy, iz, t_min,
+                          n_real, j, md_ref, hs_sc, tn_sc, texit_acc):
+    """One ON _QGRAN-cluster quarter of a gated block.
+
+    Exact per-cluster slab tests on (_QGRAN, 128 rays); group-hit
+    halfword packing and the per-cluster tile-min entry are written
+    into the block scratch at the quarter's sublane range, the per-ray
+    slab-exit bound max-accumulated into texit_acc. Every value is
+    bitwise what _prepass_block_vals computes for the same cluster
+    rows (same ops, same shapes per row; f32 max/min reassociation
+    across the quarter split is exact)."""
+    qg = _QGRAN
+    bq = blk[q * qg:(q + 1) * qg]             # (qg, 8) static slice
+    cvalid = (
+        jax.lax.broadcasted_iota(jnp.int32, (qg, 1), 0)
+        + (j * TRI_CHUNK + q * qg)
+    ).astype(jnp.float32) < n_real
+
+    def col(k):
+        return bq[:, k][:, None]              # (qg, 1)
+
+    hit_acc = jnp.zeros((qg, RAY_TILE), jnp.float32)
+    tn_min = jnp.full((qg, 1), jnp.inf, jnp.float32)
+    exits8 = []
+    for s in range(GROUP):
+        ro = (ox[s:s+1, :], oy[s:s+1, :], oz[s:s+1, :])
+        ri = (ix[s:s+1, :], iy[s:s+1, :], iz[s:s+1, :])
+        tn = jnp.full((qg, RAY_TILE), t_min, jnp.float32)
+        tf = jnp.full((qg, RAY_TILE), jnp.inf, jnp.float32)
+        for ax in range(3):
+            lo = (col(ax) - ro[ax]) * ri[ax]
+            hi = (col(ax + 3) - ro[ax]) * ri[ax]
+            tn = jnp.maximum(tn, jnp.minimum(lo, hi))
+            tf = jnp.minimum(tf, jnp.maximum(lo, hi))
+        hit = (tf >= tn) & (tf > 0.0)
+        if md_ref is not None:
+            hit = hit & (tn <= md_ref[s:s + 1, :])
+        hit_acc = jnp.maximum(
+            hit_acc, (hit & cvalid).astype(jnp.float32)
+        )
+        tn_min = jnp.minimum(
+            tn_min,
+            jnp.min(jnp.where(hit & cvalid, tn, jnp.inf),
+                    axis=1, keepdims=True),
+        )
+        exits8.append(
+            jnp.max(jnp.where(hit & cvalid, tf, -jnp.inf),
+                    axis=0, keepdims=True)
+        )                                     # (1, 128)
+    ex = jnp.concatenate(exits8, axis=0)      # (8, 128)
+    texit_acc[...] = jnp.maximum(texit_acc[...], ex)
+    lane16 = jax.lax.broadcasted_iota(
+        jnp.int32, (qg, RAY_TILE), 1
+    ) % 16
+    w16 = jnp.left_shift(jnp.int32(1), lane16).astype(jnp.float32)
+    seg = jax.lax.broadcasted_iota(
+        jnp.int32, (qg, RAY_TILE), 1
+    ) // 16
+    halves = [
+        jnp.sum(jnp.where(seg == h, hit_acc * w16, 0.0),
+                axis=1, keepdims=True)
+        for h in range(GROUP)
+    ]
+    hs_sc[q * qg:(q + 1) * qg, :] = jnp.concatenate(halves, axis=1)
+    tn_sc[q * qg:(q + 1) * qg, :] = jnp.broadcast_to(tn_min, (qg, GROUP))
+
+
 def _kernel_prepass_groups_fused(cb_ref, ox, oy, oz, ix, iy, iz,
                                  scal_ref, ghit_ref, tn_ref, texit_ref,
-                                 texit_acc, md_ref=None, gate_ref=None):
+                                 texit_acc, hs_sc, tn_sc,
+                                 md_ref=None, gate_ref=None):
     """Gated prepass with the BLOCK loop inside the kernel.
 
     The grid-per-block formulation pays ~0.8 us of Mosaic step overhead
@@ -2032,7 +2117,15 @@ def _kernel_prepass_groups_fused(cb_ref, ox, oy, oz, ix, iy, iz,
     cost, benchmarks/prepass_gate_probe.py). Here the grid is (tiles,)
     and a fori_loop walks the blocks with the whole cluster-bounds pack
     resident in VMEM; a skipped block costs a scalar branch + two
-    (8, 128) zero stores."""
+    (8, 128) zero stores.
+
+    gate_ref[i, j] is a WORD: bit q gates the block's q-th
+    _QGRAN-cluster quarter (conservative union-AABB slab, so skipping
+    is bitwise-exact). An ON block computes only its ON quarters —
+    probe-measured 0.45 quarter-on fraction inside ON blocks on bounce
+    batches (subgate_probe.py) — through (TRI_CHUNK, GROUP) block
+    scratch written at static quarter sublane offsets (lane-dim stores
+    must stay 128-aligned, so quarters live in sublanes)."""
     i = pl.program_id(0)
     t_min = scal_ref[0]
     n_real = scal_ref[1]
@@ -2044,14 +2137,27 @@ def _kernel_prepass_groups_fused(cb_ref, ox, oy, oz, ix, iy, iz,
 
         @pl.when(gate != 0)
         def _():
-            blk = cb_ref[:, pl.ds(j * TRI_CHUNK, TRI_CHUNK)]
-            ghit, tn, ex = _prepass_block_vals(
-                _ValueRef(blk), ox, oy, oz, ix, iy, iz, t_min,
-                n_real, j, md_ref
+            hs_sc[...] = jnp.zeros((TRI_CHUNK, GROUP), jnp.float32)
+            tn_sc[...] = jnp.full((TRI_CHUNK, GROUP), jnp.inf,
+                                  jnp.float32)
+            blk = jnp.transpose(
+                cb_ref[:, pl.ds(j * TRI_CHUNK, TRI_CHUNK)]
+            )                                 # (128 clusters, 8)
+            for q in range(_QPB):
+                @pl.when(
+                    (jax.lax.shift_right_logical(gate, q) & 1) != 0
+                )
+                def _(q=q):
+                    _prepass_quarter_vals(
+                        blk, q, ox, oy, oz, ix, iy, iz, t_min,
+                        n_real, j, md_ref, hs_sc, tn_sc, texit_acc
+                    )
+            ghit_ref[0, :, pl.ds(j * TRI_CHUNK, TRI_CHUNK)] = (
+                jnp.transpose(hs_sc[...])
             )
-            texit_acc[...] = jnp.maximum(texit_acc[...], ex)
-            ghit_ref[0, :, pl.ds(j * TRI_CHUNK, TRI_CHUNK)] = ghit
-            tn_ref[0, :, pl.ds(j * TRI_CHUNK, TRI_CHUNK)] = tn
+            tn_ref[0, :, pl.ds(j * TRI_CHUNK, TRI_CHUNK)] = (
+                jnp.transpose(tn_sc[...])
+            )
 
         @pl.when(gate == 0)
         def _():
@@ -2068,31 +2174,20 @@ def _kernel_prepass_groups_fused(cb_ref, ox, oy, oz, ix, iy, iz,
     texit_ref[0] = texit_acc[...]
 
 
-class _ValueRef:
-    """Adapter: lets _prepass_block_vals read a materialized block value
-    through its `ref[...]` access."""
-
-    def __init__(self, v):
-        self._v = v
-
-    def __getitem__(self, idx):
-        return self._v[idx] if idx is not Ellipsis else self._v
-
-
 def _kernel_prepass_groups_fused_plain(cb, ox, oy, oz, ix, iy, iz,
                                        gate, scal, ghit, tn, texit,
-                                       texit_acc):
+                                       texit_acc, hs_sc, tn_sc):
     _kernel_prepass_groups_fused(cb, ox, oy, oz, ix, iy, iz, scal,
                                  ghit, tn, texit, texit_acc,
-                                 gate_ref=gate)
+                                 hs_sc, tn_sc, gate_ref=gate)
 
 
 def _kernel_prepass_groups_fused_seg(cb, ox, oy, oz, ix, iy, iz, md,
                                      gate, scal, ghit, tn, texit,
-                                     texit_acc):
+                                     texit_acc, hs_sc, tn_sc):
     _kernel_prepass_groups_fused(cb, ox, oy, oz, ix, iy, iz, scal,
                                  ghit, tn, texit, texit_acc,
-                                 md_ref=md, gate_ref=gate)
+                                 hs_sc, tn_sc, md_ref=md, gate_ref=gate)
 
 
 def _kernel_prepass_groups_seg(cb_ref, ox, oy, oz, ix, iy, iz, md,
@@ -2157,6 +2252,53 @@ def _block_gate(cluster_min, cluster_max, comps, t_min, tiles, c,
     return gate.astype(jnp.int32)
 
 
+def _quarter_gate(cluster_min, cluster_max, comps, t_min, b, c, cpad,
+                  maxd=None):
+    """(tiles, nblocks) i32 gate WORDS for the fused gated prepass.
+
+    Bit q of word [i, j] is 1 iff some ray of tile i slab-hits the
+    union AABB of block j's q-th _QGRAN-cluster quarter. The gate is
+    ITSELF a (recursion-guarded) prepass over the quarter union AABBs
+    — ~_QGRANx fewer boxes, same kernel, same conservative slab. The
+    XLA formulation of the 128-gran test (_block_gate, kept as the
+    test oracle) measured ~1.0 ms/call at 16.4k clusters vs ~0.05 ms
+    for the kernel one. Bit q off implies every cluster of quarter q
+    misses (slab monotone under box inclusion), so the fused kernel
+    skips that quarter's slab arithmetic bitwise-exactly."""
+    tiles = b // RAYS_PER_TILE
+    nblk = cpad // TRI_CHUNK
+    nq = cpad // _QGRAN
+    pad = cpad - c
+    qmin = jnp.min(
+        jnp.pad(cluster_min, ((0, pad), (0, 0)),
+                constant_values=jnp.inf)
+        .reshape(nq, _QGRAN, 3),
+        axis=1,
+    )
+    qmax = jnp.max(
+        jnp.pad(cluster_max, ((0, pad), (0, 0)),
+                constant_values=-jnp.inf)
+        .reshape(nq, _QGRAN, 3),
+        axis=1,
+    )
+    bghit, _, _, _, _ = _prepass_groups(
+        qmin, qmax, comps, t_min, b, maxd=maxd, _no_gate=True
+    )
+    # fully-padded quarters (qmin=+inf, qmax=-inf) slab to a spurious
+    # always-hit; mask them off (the prepass writes zeros for their
+    # member clusters either way — this skips the work)
+    realq = jnp.arange(nq, dtype=jnp.int32) * _QGRAN < c
+    qon = jnp.any(bghit[:, :, :nq] > 0.0, axis=1) & realq[None, :]
+    bits = jnp.left_shift(
+        jnp.int32(1), jnp.arange(_QPB, dtype=jnp.int32)
+    )
+    return jnp.sum(
+        qon.reshape(tiles, nblk, _QPB).astype(jnp.int32)
+        * bits[None, None, :],
+        axis=-1,
+    )
+
+
 def _prepass_groups(cluster_min, cluster_max, comps, t_min, b,
                     maxd=None, _no_gate=False, _force_dense=False):
     """Run the group pre-pass on transposed ray comps.
@@ -2188,36 +2330,10 @@ def _prepass_groups(cluster_min, cluster_max, comps, t_min, b,
              and cpad // TRI_CHUNK >= _GATE_MIN_BLOCKS)
     gate_ops = ()
     if gated:
-        # The gate is ITSELF a (recursion-guarded) prepass over the
-        # 128-cluster blocks' union AABBs — ~128x fewer boxes, same
-        # kernel, same conservative slab. The XLA formulation of this
-        # test (_block_gate, kept as the test oracle) measured
-        # ~1.0 ms/call at 16.4k clusters vs ~0.05 ms for this one.
-        nblk = cpad // TRI_CHUNK
-        pad = cpad - c
-        bmin = jnp.min(
-            jnp.pad(cluster_min, ((0, pad), (0, 0)),
-                    constant_values=jnp.inf)
-            .reshape(nblk, TRI_CHUNK, 3),
-            axis=1,
+        gate_ops = (
+            _quarter_gate(cluster_min, cluster_max, comps, t_min, b,
+                          c, cpad, maxd=maxd),
         )
-        bmax = jnp.max(
-            jnp.pad(cluster_max, ((0, pad), (0, 0)),
-                    constant_values=-jnp.inf)
-            .reshape(nblk, TRI_CHUNK, 3),
-            axis=1,
-        )
-        bghit, _, _, _, _ = _prepass_groups(
-            bmin, bmax, comps, t_min, b, maxd=maxd, _no_gate=True
-        )
-        # fully-padded blocks (bmin=+inf, bmax=-inf) slab to a spurious
-        # always-hit; mask them off (the prepass writes zeros for their
-        # member clusters either way — this just skips the work)
-        real = jnp.arange(nblk, dtype=jnp.int32) * TRI_CHUNK < c
-        gate = (
-            jnp.any(bghit[:, :, :nblk] > 0.0, axis=1) & real[None, :]
-        )
-        gate_ops = (gate.astype(jnp.int32),)
     scal = jnp.stack([
         jnp.asarray(t_min, jnp.float32),
         jnp.asarray(float(c), jnp.float32),
@@ -2255,6 +2371,8 @@ def _prepass_groups(cluster_min, cluster_max, comps, t_min, b,
             out_shape=out_shape,
             scratch_shapes=[
                 pltpu.VMEM((GROUP, RAY_TILE), jnp.float32),
+                pltpu.VMEM((TRI_CHUNK, GROUP), jnp.float32),
+                pltpu.VMEM((TRI_CHUNK, GROUP), jnp.float32),
             ],
         )(
             cb, ox, oy, oz, ix, iy, iz,
