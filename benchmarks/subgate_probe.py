@@ -106,9 +106,38 @@ def main():
         on &= real[None]
         return on
 
+    # MIXED batch: the real bench workload (balance_lanes=4 lane
+    # queues) packs pixels at different depths into one batch, then
+    # sorts by nearest-touched-cluster (the renderer's schedule key).
+    # A 1024-ray tile of such a batch turns a quarter ON if ANY of its
+    # mixed rays touches it — the pure-camera/pure-bounce numbers
+    # below bound the saving only if tiles are depth-pure, which lane
+    # queues break. This reproduces that mixing host-side.
+    o_m = np.concatenate([o_c[: n // 2], o_i[: n // 2]])
+    d_m = np.concatenate([d_c[: n // 2], d_i[: n // 2]])
+    inv_m = 1.0 / np.where(np.abs(d_m) > 1e-8, d_m, 1e-8)
+    best_tn = np.full(n, np.inf, np.float32)
+    best_id = np.full(n, c, np.int32)
+    for c0 in range(0, c, 2048):
+        c1 = min(c0 + 2048, c)
+        lo_t = (cmin[None, c0:c1] - o_m[:, None]) * inv_m[:, None]
+        hi_t = (cmax[None, c0:c1] - o_m[:, None]) * inv_m[:, None]
+        tn = np.maximum(np.minimum(lo_t, hi_t).max(-1), 1e-4)
+        tf = np.maximum(lo_t, hi_t).min(-1)
+        tn = np.where((tf >= tn) & (tf > 0), tn, np.inf)
+        j = tn.argmin(1)
+        t = tn[np.arange(n), j]
+        upd = t < best_tn
+        best_tn = np.where(upd, t, best_tn)
+        best_id = np.where(upd, (j + c0).astype(np.int32), best_id)
+    order = np.argsort(best_id, kind="stable")
+    o_s, d_s = o_m[order], d_m[order]
+
     out = {"clusters": int(c)}
     for tag_r, (o, d) in (("camera", (o_c, d_c)),
-                          ("bounce", (o_i, d_i))):
+                          ("bounce", (o_i, d_i)),
+                          ("mixed", (o_m, d_m)),
+                          ("mixsort", (o_s, d_s))):
         on128 = gate_frac(o, d, 128)
         on32 = gate_frac(o, d, 32)
         on8 = gate_frac(o, d, 8)
@@ -116,13 +145,18 @@ def main():
         f32 = float(on32.mean())
         f8 = float(on8.mean())
         # conditional: of quarters inside an ON block, how many are on
-        q_in_on = on32.reshape(tiles, -1, 4)[on128].mean()
+        q_in_on = (on32.reshape(tiles, -1, 4)[on128].mean()
+                   if on128.any() else 0.0)
+        q8_in_on = (on8.reshape(tiles, -1, 16)[on128].mean()
+                    if on128.any() else 0.0)
         out[f"{tag_r}_frac128"] = round(f128, 4)
         out[f"{tag_r}_frac32"] = round(f32, 4)
         out[f"{tag_r}_frac8"] = round(f8, 4)
         out[f"{tag_r}_q_given_block"] = round(float(q_in_on), 4)
+        out[f"{tag_r}_q8_given_block"] = round(float(q8_in_on), 4)
         print(f"{tag_r:7s} on-frac 128: {f128:.4f}  32: {f32:.4f} "
-              f"8: {f8:.4f}  P(q|blk): {q_in_on:.4f}", flush=True)
+              f"8: {f8:.4f}  P(q|blk): {q_in_on:.4f} "
+              f"P(q8|blk): {q8_in_on:.4f}", flush=True)
 
     with open(os.path.join(HERE, "subgate_probe_result.json"), "w") as f:
         json.dump(out, f, indent=1)

@@ -2300,13 +2300,19 @@ def _quarter_gate(cluster_min, cluster_max, comps, t_min, b, c, cpad,
 
 
 def _prepass_groups(cluster_min, cluster_max, comps, t_min, b,
-                    maxd=None, _no_gate=False, _force_dense=False):
+                    maxd=None, _no_gate=False, _force_dense=False,
+                    _gate_override=None):
     """Run the group pre-pass on transposed ray comps.
 
     comps: 6 arrays (tiles*8, 128); maxd optionally a 7th (segment
     length per ray, any-hit culling). Returns (ghit (tiles, Cpad, 8)
     f32 16-bit-halfword group masks, tn (tiles, Cpad), n_clusters,
-    Cpad)."""
+    Cpad).
+
+    _gate_override is a PROBE knob (benchmarks/prepass_floor_probe.py):
+    "zero" forces every gate word off (measures the fused kernel's pure
+    loop+store floor — outputs are then all-zero/inf, NOT a real
+    prepass), "one" forces every quarter on (the dense fused cost)."""
     c = cluster_min.shape[0]
     if c > _GMAX_CLUSTERS:
         raise ValueError(
@@ -2330,10 +2336,18 @@ def _prepass_groups(cluster_min, cluster_max, comps, t_min, b,
              and cpad // TRI_CHUNK >= _GATE_MIN_BLOCKS)
     gate_ops = ()
     if gated:
-        gate_ops = (
-            _quarter_gate(cluster_min, cluster_max, comps, t_min, b,
-                          c, cpad, maxd=maxd),
-        )
+        if _gate_override == "zero":
+            gate_ops = (jnp.zeros(
+                (tiles, cpad // TRI_CHUNK), jnp.int32),)
+        elif _gate_override == "one":
+            gate_ops = (jnp.full(
+                (tiles, cpad // TRI_CHUNK),
+                (1 << _QPB) - 1, jnp.int32),)
+        else:
+            gate_ops = (
+                _quarter_gate(cluster_min, cluster_max, comps, t_min,
+                              b, c, cpad, maxd=maxd),
+            )
     scal = jnp.stack([
         jnp.asarray(t_min, jnp.float32),
         jnp.asarray(float(c), jnp.float32),
