@@ -2108,16 +2108,22 @@ def _prepass_quarter_vals(blk, q, ox, oy, oz, ix, iy, iz, t_min,
 def _kernel_prepass_groups_fused(cb_ref, ox, oy, oz, ix, iy, iz,
                                  scal_ref, ghit_ref, tn_ref, texit_ref,
                                  texit_acc, hs_sc, tn_sc,
-                                 md_ref=None, gate_ref=None):
-    """Gated prepass with the BLOCK loop inside the kernel.
+                                 md_ref=None, gate_ref=None,
+                                 sched_ref=None, non_ref=None):
+    """Gated prepass as a WORKLIST: only ON blocks are visited.
 
     The grid-per-block formulation pays ~0.8 us of Mosaic step overhead
-    per (tile, 128-cluster block) even for gated-off blocks — measured
-    1.65 ms/call of pure floor at 16.4k clusters (38% of the dense
-    cost, benchmarks/prepass_gate_probe.py). Here the grid is (tiles,)
-    and a fori_loop walks the blocks with the whole cluster-bounds pack
-    resident in VMEM; a skipped block costs a scalar branch + two
-    (8, 128) zero stores.
+    per (tile, 128-cluster block) even for gated-off blocks; the first
+    fused form (fori over ALL blocks, scalar branch per block) still
+    paid a measured 1.63 ms/call of pure floor at 16.4k clusters — 73%
+    of the real gated cost (benchmarks/prepass_floor_probe.py). Here
+    the outputs are bulk-initialized (one zeros + one inf store per
+    tile) and a fori_loop with a DYNAMIC trip count (non_ref[i], from
+    SMEM) walks only tile i's gated-ON blocks via sched_ref[i, k] —
+    machinery proportional to the ON fraction (0.36 on the 2.1M mixed
+    schedule) instead of nblk. Bitwise == the dense loop: block output
+    slices are disjoint and the texit max-accumulation is exact under
+    any visit order.
 
     gate_ref[i, j] is a WORD: bit q gates the block's q-th
     _QGRAN-cluster quarter (conservative union-AABB slab, so skipping
@@ -2129,65 +2135,59 @@ def _kernel_prepass_groups_fused(cb_ref, ox, oy, oz, ix, iy, iz,
     i = pl.program_id(0)
     t_min = scal_ref[0]
     n_real = scal_ref[1]
-    nblk = cb_ref.shape[1] // TRI_CHUNK
+    cpad = cb_ref.shape[1]
     texit_acc[...] = jnp.full((GROUP, RAY_TILE), t_min, jnp.float32)
+    ghit_ref[0] = jnp.zeros((GROUP, cpad), jnp.float32)
+    tn_ref[0] = jnp.full((GROUP, cpad), jnp.inf, jnp.float32)
 
-    def body(j, carry):
+    def body(k, carry):
+        j = sched_ref[i, k]
         gate = gate_ref[i, j]
-
-        @pl.when(gate != 0)
-        def _():
-            hs_sc[...] = jnp.zeros((TRI_CHUNK, GROUP), jnp.float32)
-            tn_sc[...] = jnp.full((TRI_CHUNK, GROUP), jnp.inf,
-                                  jnp.float32)
-            blk = jnp.transpose(
-                cb_ref[:, pl.ds(j * TRI_CHUNK, TRI_CHUNK)]
-            )                                 # (128 clusters, 8)
-            for q in range(_QPB):
-                @pl.when(
-                    (jax.lax.shift_right_logical(gate, q) & 1) != 0
+        hs_sc[...] = jnp.zeros((TRI_CHUNK, GROUP), jnp.float32)
+        tn_sc[...] = jnp.full((TRI_CHUNK, GROUP), jnp.inf,
+                              jnp.float32)
+        blk = jnp.transpose(
+            cb_ref[:, pl.ds(j * TRI_CHUNK, TRI_CHUNK)]
+        )                                 # (128 clusters, 8)
+        for q in range(_QPB):
+            @pl.when(
+                (jax.lax.shift_right_logical(gate, q) & 1) != 0
+            )
+            def _(q=q):
+                _prepass_quarter_vals(
+                    blk, q, ox, oy, oz, ix, iy, iz, t_min,
+                    n_real, j, md_ref, hs_sc, tn_sc, texit_acc
                 )
-                def _(q=q):
-                    _prepass_quarter_vals(
-                        blk, q, ox, oy, oz, ix, iy, iz, t_min,
-                        n_real, j, md_ref, hs_sc, tn_sc, texit_acc
-                    )
-            ghit_ref[0, :, pl.ds(j * TRI_CHUNK, TRI_CHUNK)] = (
-                jnp.transpose(hs_sc[...])
-            )
-            tn_ref[0, :, pl.ds(j * TRI_CHUNK, TRI_CHUNK)] = (
-                jnp.transpose(tn_sc[...])
-            )
-
-        @pl.when(gate == 0)
-        def _():
-            ghit_ref[0, :, pl.ds(j * TRI_CHUNK, TRI_CHUNK)] = (
-                jnp.zeros((GROUP, TRI_CHUNK), jnp.float32)
-            )
-            tn_ref[0, :, pl.ds(j * TRI_CHUNK, TRI_CHUNK)] = jnp.full(
-                (GROUP, TRI_CHUNK), jnp.inf, jnp.float32
-            )
-
+        ghit_ref[0, :, pl.ds(j * TRI_CHUNK, TRI_CHUNK)] = (
+            jnp.transpose(hs_sc[...])
+        )
+        tn_ref[0, :, pl.ds(j * TRI_CHUNK, TRI_CHUNK)] = (
+            jnp.transpose(tn_sc[...])
+        )
         return carry
 
-    jax.lax.fori_loop(0, nblk, body, 0)
+    jax.lax.fori_loop(0, non_ref[i], body, 0)
     texit_ref[0] = texit_acc[...]
 
 
 def _kernel_prepass_groups_fused_plain(cb, ox, oy, oz, ix, iy, iz,
-                                       gate, scal, ghit, tn, texit,
+                                       gate, sched, non, scal,
+                                       ghit, tn, texit,
                                        texit_acc, hs_sc, tn_sc):
     _kernel_prepass_groups_fused(cb, ox, oy, oz, ix, iy, iz, scal,
                                  ghit, tn, texit, texit_acc,
-                                 hs_sc, tn_sc, gate_ref=gate)
+                                 hs_sc, tn_sc, gate_ref=gate,
+                                 sched_ref=sched, non_ref=non)
 
 
 def _kernel_prepass_groups_fused_seg(cb, ox, oy, oz, ix, iy, iz, md,
-                                     gate, scal, ghit, tn, texit,
+                                     gate, sched, non, scal,
+                                     ghit, tn, texit,
                                      texit_acc, hs_sc, tn_sc):
     _kernel_prepass_groups_fused(cb, ox, oy, oz, ix, iy, iz, scal,
                                  ghit, tn, texit, texit_acc,
-                                 hs_sc, tn_sc, md_ref=md, gate_ref=gate)
+                                 hs_sc, tn_sc, md_ref=md, gate_ref=gate,
+                                 sched_ref=sched, non_ref=non)
 
 
 def _kernel_prepass_groups_seg(cb_ref, ox, oy, oz, ix, iy, iz, md,
@@ -2348,6 +2348,16 @@ def _prepass_groups(cluster_min, cluster_max, comps, t_min, b,
                 _quarter_gate(cluster_min, cluster_max, comps, t_min,
                               b, c, cpad, maxd=maxd),
             )
+        # Worklist: per tile, the indices of gated-ON blocks (ON
+        # first, index order) + their count. (tiles, nblk) is tiny
+        # (~2k entries at 16.4k clusters) so the argsort is noise
+        # next to the 64k-scale sorts the schedule path avoids.
+        on = gate_ops[0] != 0
+        gate_ops = gate_ops + (
+            jnp.argsort(jnp.logical_not(on), axis=1,
+                        stable=True).astype(jnp.int32),
+            jnp.sum(on, axis=1, dtype=jnp.int32),
+        )
     scal = jnp.stack([
         jnp.asarray(t_min, jnp.float32),
         jnp.asarray(float(c), jnp.float32),
@@ -2372,7 +2382,7 @@ def _prepass_groups(cluster_min, cluster_max, comps, t_min, b,
             grid=(tiles,),
             in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)]
             + [ray_spec1] * (6 if maxd is None else 7)
-            + [pl.BlockSpec(memory_space=pltpu.SMEM)] * 2,
+            + [pl.BlockSpec(memory_space=pltpu.SMEM)] * 4,
             out_specs=[
                 pl.BlockSpec((1, GROUP, cpad), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM),
