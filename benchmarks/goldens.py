@@ -47,6 +47,15 @@ CONFIGS = {
         sampling_mode="bsdf", ray_chunk=4096, spp_per_pass=16, seed=7,
         mirror_tall_box=True,
     ),
+    # NEE exercises the trickiest estimator machinery (last-depth
+    # gating + complementary MIS hit weights, integrator.py:203-307);
+    # it is also the biggest measured quality lever (2.7-6.9x RMSE),
+    # so it gets the same bitwise net as the other paths (VERDICT r4 #5).
+    "cbox_nee": dict(
+        scene="cbox_quads", width=64, height=64, spp=16, max_depth=4,
+        sampling_mode="bsdf", nee=True, ray_chunk=4096,
+        spp_per_pass=16, seed=2023,
+    ),
     "cbox_radiosity_view": dict(
         scene="cbox_quads", width=64, height=64, spp=4, subdivision=1,
         integrator="radiosity", ray_chunk=4096, seed=2023,
@@ -73,9 +82,9 @@ def rmse(a: np.ndarray, b: np.ndarray) -> float:
     return float(np.sqrt(np.mean((a - b) ** 2)))
 
 
-def generate() -> None:
+def generate(only: str | None = None) -> None:
     os.makedirs(GOLDEN_DIR, exist_ok=True)
-    for name in CONFIGS:
+    for name in CONFIGS if only is None else [only]:
         img = render(name)
         np.savez_compressed(
             os.path.join(GOLDEN_DIR, f"{name}.npz"), image=img
@@ -110,6 +119,6 @@ def check(rtol_rmse: float = 0.01) -> int:
 if __name__ == "__main__":
     cmd = sys.argv[1] if len(sys.argv) > 1 else "check"
     if cmd == "generate":
-        generate()
+        generate(sys.argv[2] if len(sys.argv) > 2 else None)
     else:
         sys.exit(1 if check() else 0)
