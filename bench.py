@@ -19,6 +19,54 @@ import json
 import sys
 import time
 
+# --- physical-plausibility guard (VERDICT r4 #6) -------------------------
+# Incident b9ee9de: after a TPU-worker restart, jax.block_until_ready
+# returned without draining the dispatch queue and a mid-session bench
+# printed a ~1500x-inflated headline (74% "MFU"). The fix was a real
+# value-fetch barrier in renderer.sync; this guard makes bench.py REFUSE
+# to print a number the hardware cannot produce, failing loudly with
+# diagnostics instead, should the environment misbehave in a new way.
+#
+# For all-pairs backends (brute/pallas: every ray tests every triangle)
+# the binding limit is the measured VPU issue-rate plateau: ~27e9
+# ray-tri tests/s at any triangle count (benchmarks/mfu_plateau.py,
+# docs/RESULTS.md "Roofline"), i.e. ~14% of the 40-flop 7.7 Tflop/s
+# peak. For culled/scheduled backends tests-per-ray is sublinear in
+# scene size, so only an absolute rays/s ceiling applies: one v5e chip
+# cannot trace 5 Grays/s on ANY workload here (best measured ~0.3).
+ISSUE_RATE_CEILING = 27e9        # ray-tri tests/s, measured plateau
+ABS_MRAYS_CEILING = 5000.0       # Mrays/s/chip, any backend
+GUARD_MARGIN = 1.5               # headroom over the measured plateau
+
+
+class ImplausibleBenchmark(BaseException):
+    """Deliberately BaseException-derived: every per-config block in
+    main() degrades failures to an 'error: ...' extra field via
+    `except Exception`, but an impossible number must abort the WHOLE
+    bench (no JSON line printed) rather than be reported politely."""
+
+
+def check_physical(name, mrays, num_tris=None, all_pairs=False):
+    """Raise if a measured throughput exceeds what the chip can do."""
+    if mrays > ABS_MRAYS_CEILING:
+        raise ImplausibleBenchmark(
+            f"bench '{name}': {mrays:.1f} Mrays/s exceeds the absolute "
+            f"{ABS_MRAYS_CEILING:.0f} Mrays/s/chip ceiling — the timing "
+            "barrier did not drain the dispatch queue (see b9ee9de); "
+            "refusing to report."
+        )
+    if all_pairs and num_tris:
+        rate = mrays * 1e6 * num_tris
+        limit = ISSUE_RATE_CEILING * GUARD_MARGIN
+        if rate > limit:
+            raise ImplausibleBenchmark(
+                f"bench '{name}': {mrays:.1f} Mrays/s x {num_tris} tris "
+                f"= {rate:.3g} ray-tri tests/s, above the measured "
+                f"~{ISSUE_RATE_CEILING:.2g} tests/s VPU issue plateau "
+                f"(x{GUARD_MARGIN} margin) — physically impossible for "
+                "an all-pairs backend; refusing to report."
+            )
+
 
 def _bench_renderer(r, min_passes=3, min_seconds=6.0, max_passes=16):
     """Warmup one pass, then pipelined timed passes; returns Mrays/s."""
@@ -65,6 +113,7 @@ def main():
     )
     r_head = ProgressiveRenderer(geom, cam, settings, **packs)
     mrays = _bench_renderer(r_head)
+    check_physical("headline", mrays, geom.num_tris, all_pairs=True)
 
     # VPU utilization of the headline run: the wavefront loop tests every
     # ray against all scene triangles in-kernel; the affine t/u/v test is
@@ -125,6 +174,9 @@ def main():
         extra["cbox1024_progressive"] = round(
             r3.total_rays / 1e6 / wall3, 1
         )
+        check_physical("cbox1024_progressive",
+                       extra["cbox1024_progressive"],
+                       geom.num_tris, all_pairs=True)
     except Exception as e:  # noqa: BLE001
         extra["cbox1024_progressive"] = f"error: {e}"
 
@@ -148,6 +200,8 @@ def main():
         r = ProgressiveRenderer(geom, cam, s_mis, cdfs=cdfs,
                                 mis_bsdf_fraction=0.5, **packs)
         extra["cbox1024_mis"] = round(_bench_renderer(r), 2)
+        check_physical("cbox1024_mis", extra["cbox1024_mis"],
+                       geom.num_tris, all_pairs=True)
     except Exception as e:  # noqa: BLE001
         extra["cbox1024_mis"] = f"error: {e}"
 
@@ -165,6 +219,8 @@ def main():
                 attr_pack=pack_attributes(geom_m))),
             2,
         )
+        check_physical("cbox512_mirror", extra["cbox512_mirror"],
+                       geom_m.num_tris, all_pairs=True)
     except Exception as e:  # noqa: BLE001
         extra["cbox512_mirror"] = f"error: {e}"
 
@@ -243,6 +299,8 @@ def main():
         )
         r_nee = ProgressiveRenderer(geom, cam, s_nee, **packs)
         extra["cbox1024_nee"] = round(_bench_renderer(r_nee), 2)
+        check_physical("cbox1024_nee", extra["cbox1024_nee"],
+                       geom.num_tris, all_pairs=True)
         extra["nee_wall_per_spp_ratio"] = round(
             r_nee.bench_wall_per_spp / r_head.bench_wall_per_spp, 2
         )
@@ -302,6 +360,7 @@ def main():
         extra["stress100k"] = round(
             _bench_renderer(r_s, min_seconds=3.0, max_passes=8), 2
         )
+        check_physical("stress100k", extra["stress100k"])
         # NEE wall cost on the open 101k-tri scene (config #4): shadow
         # rays run the grouped culled any-hit; counted in Mrays.
         import dataclasses as _dc
