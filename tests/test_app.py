@@ -300,6 +300,42 @@ class TestViewerEndpoints:
         assert state.app.camera_ctrl.aspect == pytest.approx(64 / 32)
         assert state.app.camera_ctrl.yaw == yaw
 
+    def test_scenes_listing(self, server):
+        """Scene browser (ImGuiFileDialog parity, ui_windows.h:88-104):
+        builtins + every .obj/.pbrt under scenes/, and the page carries
+        the dropdown that loads them by mouse."""
+        import json as _json
+
+        _, port = server
+        status, body = self._get(port, "/scenes")
+        assert status == 200
+        scenes = _json.loads(body)["scenes"]
+        assert "cbox_quads" in scenes and "cbox" in scenes
+        assert "scenes/cbox.obj" in scenes
+        assert "scenes/stress100k.pbrt" in scenes
+        assert not any(s.endswith((".mtl", ".py", ".ply"))
+                       for s in scenes)
+        _, page = self._get(port, "/")
+        assert b'id="scenesel"' in page
+
+    def test_profiler_kernel_endpoint(self, server):
+        """Kernel-phase split endpoint (renderProfilerWindow's cycle
+        percentages, ui_windows.h:487-550): returns the traced-device
+        breakdown JSON; the page renders it as the stacked bar. On the
+        CPU test backend the trace has no device track, so percent may
+        be empty — the shape contract is what's pinned here (the TPU
+        path is exercised by benchmarks/walk_cost_probe.py)."""
+        import json as _json
+
+        _, port = server
+        status, body = self._get(port, "/profiler/kernel")
+        assert status == 200
+        p = _json.loads(body)
+        assert set(p) >= {"seconds", "percent", "ops", "device_total"}
+        assert isinstance(p["percent"], dict)
+        _, page = self._get(port, "/")
+        assert b"kprofbar" in page and b"Sample Kernel Split" in page
+
 
 class TestLegacyRadiosityDisplay:
     def test_legacy_display_light_is_251(self):

@@ -2034,7 +2034,14 @@ _QGRAN = int(os.environ.get("TPT_QGRAN", "32"))
                         # a multiple of 8: the scratch writes land at
                         # sublane offsets q*_QGRAN (static multiples of
                         # 8 — Mosaic-legal). Env-switchable for A/B.
-assert TRI_CHUNK % _QGRAN == 0 and _QGRAN % 8 == 0, _QGRAN
+if not (_QGRAN > 0 and TRI_CHUNK % _QGRAN == 0 and _QGRAN % 8 == 0):
+    # explicit raise, not assert: python -O strips asserts and an
+    # invalid TPT_QGRAN would silently yield non-multiple-of-8 sublane
+    # scratch offsets (advisor r4)
+    raise ValueError(
+        f"TPT_QGRAN={_QGRAN} must be a positive multiple of 8 dividing "
+        f"TRI_CHUNK={TRI_CHUNK}"
+    )
 _QPB = TRI_CHUNK // _QGRAN
 
 

@@ -22,6 +22,10 @@ Endpoints:
   GET /profiler    stage-timing summary (text)
   GET /profiler.svg
   GET /profiler/reset | /profiler/enable?on=0|1
+  GET /profiler/kernel  on-demand device-trace phase split (JSON) — the
+        reference's in-kernel cycle percentages (ui_windows.h:487-550)
+  GET /scenes      loadable scenes: builtins + scenes/*.obj|*.pbrt
+        (ImGuiFileDialog parity, ui_windows.h:88-104)
   GET /orbit?yaw=5&pitch=0&zoom=0
   GET /set?mode=mis&spp=64  (any Config field)
   GET /solve       run the radiosity solver + rebuild CDFs
@@ -90,7 +94,9 @@ hover: pick (grid window on)</div>
   <span class="v" id="height_v"></span></label>
 <label>SPP <input type="range" id="spp" min="1" max="1000">
   <span class="v" id="spp_v"></span></label>
-<label>Scene <input type="text" id="scene">
+<label>Scene <select id="scenesel"><option value="">browse…</option>
+  </select></label>
+<label> <input type="text" id="scene">
   <button onclick="loadScene()">Load</button></label>
 <label><input type="checkbox" id="convert_quads">
   Convert Quads to Triangles</label>
@@ -157,6 +163,12 @@ hover: pick (grid window on)</div>
   Enable Profiling</label>
 <button onclick="go('/profiler/reset')">Reset Stats</button>
 <img id="prof" src="/profiler.svg">
+<hr>
+<div>Kernel breakdown (device trace):</div>
+<button onclick="kprof()">Sample Kernel Split</button>
+<div id="kprofbar" style="display:flex;height:14px;width:260px;
+  border:1px solid #444;margin:4px 0"></div>
+<div class="stat" id="kproftxt"></div>
 </div>
 </div>
 
@@ -262,6 +274,35 @@ function refreshState(){
       +s.profiler.avg_frame_ms.toFixed(1)+' ms)';
   });
 }
+// Scene browser (ImGuiFileDialog parity): dropdown of builtins +
+// scenes/ directory; selecting loads immediately.
+fetch('/scenes').then(r=>r.json()).then(j=>{
+  for(const s of j.scenes){const o=document.createElement('option');
+    o.value=s;o.textContent=s;$('scenesel').appendChild(o)}});
+$('scenesel').addEventListener('change',()=>{
+  if(!$('scenesel').value)return;
+  $('scene').value=$('scenesel').value;loadScene()});
+
+// Kernel-phase split (renderProfilerWindow's cycle percentages,
+// ui_windows.h:487-550): on-demand — tracing pauses the render loop
+// for one step.
+const KCOL={intersection:'#d65',rng:'#5ad',grid_sampling:'#da5',
+  sort:'#a7d','dma/copy':'#7c7','shading/other':'#999'};
+function kprof(){
+  $('kproftxt').textContent='tracing one render pass...';
+  fetch('/profiler/kernel').then(r=>r.json()).then(p=>{
+    const bar=$('kprofbar');bar.innerHTML='';const txt=[];
+    for(const k in p.percent){
+      const d=document.createElement('div');
+      d.style.width=p.percent[k]+'%';d.style.background=KCOL[k]||'#888';
+      d.title=k+' '+p.percent[k].toFixed(1)+'%';bar.appendChild(d);
+      txt.push(k+' '+p.percent[k].toFixed(1)+'%');
+    }
+    $('kproftxt').textContent=txt.join(' | ')
+      +' | device '+(p.device_total*1e3).toFixed(2)+' ms';
+  }).catch(e=>{$('kproftxt').textContent='trace failed: '+e});
+}
+
 setInterval(()=>{$('frame').src='/frame.png?'+Date.now();
   $('prof').src='/profiler.svg?'+Date.now();refreshState()},1500);
 refreshState();
@@ -478,6 +519,40 @@ def make_handler(state: ViewerState):
 
                     self._send(profiler_svg(app.profiler),
                                "image/svg+xml")
+                elif url.path == "/profiler/kernel":
+                    # On-demand device-trace phase split of one live
+                    # render pass — the reference's clock64-based
+                    # intersect/sampling/shading percentages
+                    # (render_config.h:61-77, ui_windows.h:487-550).
+                    from ..utils.kernel_profile import (
+                        kernel_profile_traced,
+                    )
+
+                    with state.lock:
+                        r = app.renderer()
+                        prof = kernel_profile_traced(
+                            lambda: r.step(block=False)
+                        )
+                    self._send(json.dumps(prof), "application/json")
+                elif url.path == "/scenes":
+                    # Scene browser listing (ImGuiFileDialog parity,
+                    # ui_windows.h:88-104): builtins + any .obj/.pbrt
+                    # under ./scenes, mouse-loadable via the dropdown.
+                    import glob as _glob
+                    import os as _os
+
+                    from ..app import _BUILTINS
+
+                    files = sorted(
+                        p.replace(_os.sep, "/")
+                        for p in _glob.glob(_os.path.join("scenes", "*"))
+                        if _os.path.splitext(p)[1].lower()
+                        in (".obj", ".pbrt")
+                    )
+                    self._send(
+                        json.dumps({"scenes": list(_BUILTINS) + files}),
+                        "application/json",
+                    )
                 elif url.path == "/profiler/reset":
                     app.profiler.reset()
                     self._send("profiler reset")
