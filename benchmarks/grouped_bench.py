@@ -26,6 +26,7 @@ def main():
     import jax.numpy as jnp
 
     import tpu_pathtracer.ops.intersect_pallas as ip
+    import tpu_pathtracer.ops.intersect_pallas_legacy as ipl
     from tpu_pathtracer.render.camera import CameraController
     from tpu_pathtracer.scene.pbrt_loader import parse_pbrt
 
@@ -66,7 +67,7 @@ def main():
     for tag, (o, d) in (("coherent", (o_c, d_c)),
                         ("incoherent", (o_i, d_i))):
         ms_row, r_row = timeit(
-            ip.pallas_closest_tuv_dma,
+            ipl.pallas_closest_tuv_dma,
             cs.tri_pack, cs.cluster_min, cs.cluster_max, o, d)
         ms_grp, r_grp = timeit(
             ip.pallas_closest_tuv_dma_grouped,

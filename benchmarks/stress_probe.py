@@ -26,12 +26,14 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from tpu_pathtracer.ops.intersect_pallas_legacy import (
+    pallas_closest_tuv_dma,
+)
 from tpu_pathtracer.ops.intersect_pallas import (
     CulledScene,
     RAY_TILE,
     RAYS_PER_TILE,
     TRI_CHUNK,
-    pallas_closest_tuv_dma,
 )
 from tpu_pathtracer.render.camera import CameraController
 from tpu_pathtracer.scene.pbrt_loader import parse_pbrt

@@ -8,6 +8,7 @@ import numpy as np
 import pytest
 
 import tpu_pathtracer.ops.intersect_pallas as ip
+import tpu_pathtracer.ops.intersect_pallas_legacy as ipl
 from tpu_pathtracer.ops.intersect import closest_hit
 from tpu_pathtracer.scene.builtin import cornell_box
 from tpu_pathtracer.scene.mesh import subdivide
@@ -136,7 +137,7 @@ class TestCulled:
             ) + jnp.array([0.0, 2.75, 0.0])
             d = jax.random.normal(kd, (n, 3))
             d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
-            t, ridx = ip.pallas_closest_tuv_culled(
+            t, ridx = ipl.pallas_closest_tuv_culled(
                 cs.tri_pack, cs.cluster_min, cs.cluster_max, o, d
             )
             ref = closest_hit(geom, o, d)
@@ -169,10 +170,10 @@ class TestCulled:
         d = jax.random.normal(kd, (n, 3))
         d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
         cs = ip.CulledScene(geom)
-        t0, i0 = ip.pallas_closest_tuv_dma(
+        t0, i0 = ipl.pallas_closest_tuv_dma(
             cs.tri_pack, cs.cluster_min, cs.cluster_max, o, d
         )
-        t1, i1 = ip.pallas_closest_tuv_dma(
+        t1, i1 = ipl.pallas_closest_tuv_dma(
             cs.tri_pack, cs.cluster_min, cs.cluster_max, o, d,
             sort_rays=True,
         )
@@ -193,13 +194,13 @@ class TestCulled:
         cs = ip.CulledScene(geom)
         n = ip.ray_batch_multiple()
         o, d = rays(n, seed=9)
-        mask = ip._cluster_mask(
+        mask = ipl._cluster_mask(
             cs.cluster_min, cs.cluster_max, o, d, 1e-4
         )
         hit = cs.closest_hit(geom, o, d)
         # winner triangle's cluster must be flagged in its tile's mask
         ridx = np.asarray(
-            ip.pallas_closest_tuv_culled(
+            ipl.pallas_closest_tuv_culled(
                 cs.tri_pack, cs.cluster_min, cs.cluster_max, o, d
             )[1]
         )
@@ -402,7 +403,7 @@ class TestGroupedDMA:
         n = ip.ray_batch_multiple()
         o, d = rays(n, seed=5)
         cs = ip.CulledScene(geom)
-        t0, _ = ip.pallas_closest_tuv_dma(
+        t0, _ = ipl.pallas_closest_tuv_dma(
             cs.tri_pack, cs.cluster_min, cs.cluster_max, o, d
         )
         t1, _ = ip.pallas_closest_tuv_dma_grouped(
@@ -436,9 +437,9 @@ class TestScheduleKeyPacking:
         assert (key >> ip._BUCKET_SHIFT) & (ip._BUCKETS - 1) \
             == bucket_max
         # the counting-sort bin index never sees the inactive bit
-        bin_shift = ip._BUCKET_SHIFT + ip._BIN_SUB_BITS
-        assert (key >> bin_shift) & (ip._SORT_BINS - 1) \
-            == bucket_max >> ip._BIN_SUB_BITS
+        bin_shift = ip._BUCKET_SHIFT + ipl._BIN_SUB_BITS
+        assert (key >> bin_shift) & (ipl._SORT_BINS - 1) \
+            == bucket_max >> ipl._BIN_SUB_BITS
         # 1M-triangle scenes fit (the stress1m benchmark's class)
         assert ip._MAX_CLUSTERS * ip.TRI_CHUNK >= 1_000_000
 
