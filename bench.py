@@ -331,6 +331,26 @@ def main():
     except Exception as e:  # noqa: BLE001
         extra["nee_rmse_gain_16spp"] = f"error: {e}"
 
+    # --- config #5 geometry on ONE real chip: 4K cbox render ---
+    # The 8-chip shard_map tiled render is certified bitwise on the
+    # virtual mesh (benchmarks/tiled_4k_dryrun.py); this measures the
+    # per-chip rate at the same 4K scale (4096x2160 = 135 whole 64k-ray
+    # chunks) so config #5 has a real-hardware number (VERDICT r4 #10).
+    try:
+        s4k = RenderSettings(
+            width=4096, height=2160, max_depth=4, spp_per_pass=4,
+            ray_chunk=1 << 16, wavefront=True,
+        )
+        r4k = ProgressiveRenderer(geom, cam, s4k, **packs)
+        extra["cbox4k"] = round(
+            _bench_renderer(r4k, min_passes=2, min_seconds=3.0,
+                            max_passes=6), 2
+        )
+        check_physical("cbox4k", extra["cbox4k"], geom.num_tris,
+                       all_pairs=True)
+    except Exception as e:  # noqa: BLE001
+        extra["cbox4k"] = f"error: {e}"
+
     # --- config #4: 101k-tri pbrt stress scene, culled DMA backend ---
     try:
         import numpy as np

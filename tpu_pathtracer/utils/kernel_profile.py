@@ -141,7 +141,7 @@ def _bucket_exclusive(raw):
     every device-busy microsecond is counted exactly once.
 
     Returns (seconds: {phase: s}, per_op: {name: [excl_s, count,
-    [excl_call_s...<=32]]}, n_ops).
+    [excl_call_s...<=32], long_name]}, n_ops).
     """
     seconds: dict = {}
     per_op: dict = {}
@@ -167,7 +167,7 @@ def _bucket_exclusive(raw):
             stack.append(cell)
             ent = per_op.get(name)
             if ent is None:
-                per_op[name] = ent = [0.0, 0, []]
+                per_op[name] = ent = [0.0, 0, [], long_name[:160]]
             ent[1] += 1
             n_ops += 1
             # child_sum keeps mutating while descendants are swept —
@@ -257,6 +257,7 @@ def kernel_profile_traced(step_fn, *args, log_dir=None) -> dict:
                 # per wavefront iteration) — shows cost vs bounce depth
                 "calls_ms": [round(x * 1e3, 2) for x in v[2][:32]]
                 if v[1] > 1 else None,
+                "long_name": v[3],
             }
             for k, v in top
         ],
