@@ -9,12 +9,14 @@ VMEM-bounded by triangle count. Reports host build times (clustering,
 packs), first-pass compile-excluded render rate, and writes a frame.
 
 The 19 MB PLY is generated on demand into /tmp (not committed).
-With --tag 2m (--n 1025, ~2.1M triangles) the scene exceeds the
-13-bit cluster-id cap of one pack (1.05M tris) and exercises the
-PARTITIONED CulledScene: two packs min-combined per bounce. The
-reference refuses >2M-triangle PBRT scenes entirely and draws a
+With --tag 2m (--n 1025, ~2.1M triangles) the scene renders as ONE
+pack since the 21-bit cluster ids + chunked schedule streaming
+(round 4); --ab-parts forces the partitioned path for comparison.
+The reference refuses >2M-triangle PBRT scenes entirely and draws a
 bounding-box proxy (pbrt_loader.h:205-272); here the same class of
-scene renders for real, at linear cost in parts.
+scene renders for real. --n picks a different tessellation — used to
+demonstrate the compile-cache shape bucketing (a nearby scene size
+lands in the same cluster bucket and skips the remote compile).
 
 Usage: python benchmarks/stress1m.py [--spp 8] [--res 256] [--tag 2m]
 """

@@ -539,6 +539,22 @@ def pack_triangles_ordered(geom: Geometry, order: np.ndarray):
     )
 
 
+def _fetch_attr_rows(at128, ids):
+    """(B,) triangle ids -> (B, 16) attr rows from the BRICKED
+    (tpad/8, 128) table (see _build_part): one contiguous 512 B row
+    gather per id + a one-hot blend over the brick's 8 sub-rows. Each
+    output element sums 8 f32 terms of which at most one is nonzero,
+    so the result is BITWISE equal to a plain (tpad, 16) row gather."""
+    rows = jnp.take(at128, ids >> 3, axis=0)         # (B, 128)
+    b = rows.shape[0]
+    oh = ((ids[:, None] & 7) == jnp.arange(8)[None, :]).astype(
+        jnp.float32
+    )
+    return jnp.sum(
+        rows.reshape(b, 8, ATTR_COLS) * oh[:, :, None], axis=1
+    )
+
+
 @jax.tree_util.register_pytree_node_class
 class CulledScene:
     """Precomputed state for the cluster-culled intersector (pytree so it
@@ -611,7 +627,18 @@ class CulledScene:
         at[:t, 6:9] = host_array(geom.emission)[prim]
         at[:t, 9] = host_array(geom.material)[prim]
         at[:t, 10] = prim
-        return tri_pack, cmin, cmax, jnp.asarray(at)
+        # BRICKED (tpad/8, 128) layout: triangle i's 16 attrs live at
+        # [i>>3, (i&7)*16 : (i&7)*16+16], so the per-bounce winner-row
+        # fetch is a (B,) -> (B, 128) row gather of whole 512 B lines
+        # (the canonical fast gather shape — 128-lane minor dim, row-
+        # major) + an exact one-hot blend over the 8 sub-rows. The
+        # (tpad, 16) row gather this replaces lowered column-major in-
+        # program and cost 0.56 ms/call at 2.1M rows — 15% of the 2M-
+        # scene device budget (trace_profile stress2m fusion.168);
+        # see benchmarks/attr_gather_probe.py.
+        return tri_pack, cmin, cmax, jnp.asarray(
+            at.reshape(tpad // 8, 8 * ATTR_COLS)
+        )
 
     @property
     def parts(self):
@@ -779,17 +806,23 @@ class CulledScene:
         valid = jnp.isfinite(t) & (t < t_max)
         if os.environ.get("TPT_ABLATE_ATTR_GATHER"):
             # perf ablation only: wrong attrs, same shapes/dtypes
-            row = jnp.broadcast_to(self.attr_table[0:1], (o.shape[0], 16))
+            row = jnp.broadcast_to(
+                self.attr_table[0:1, :ATTR_COLS], (o.shape[0], 16)
+            )
         else:
             safe = jnp.where(valid, ridx, 0)
-            # one (B,) -> (B, 16) row gather per part, winner selected
-            # per lane (indices clamped to 0 on non-winning parts so
-            # every gather stays in range)
-            row = parts[0][3][jnp.where(pidx == 0, safe, 0)]
+            # one bricked row fetch per part (_fetch_attr_rows: 512 B
+            # line gather + exact one-hot sub-row blend), winner
+            # selected per lane (indices clamped to 0 on non-winning
+            # parts so every gather stays in range)
+            row = _fetch_attr_rows(parts[0][3],
+                                   jnp.where(pidx == 0, safe, 0))
             for pi, part in enumerate(parts[1:], start=1):
                 win = pidx == pi
                 row = jnp.where(
-                    win[:, None], part[3][jnp.where(win, safe, 0)], row
+                    win[:, None],
+                    _fetch_attr_rows(part[3], jnp.where(win, safe, 0)),
+                    row,
                 )
         p = o + jnp.where(valid, t, 0.0)[:, None] * d
         return Hit(
