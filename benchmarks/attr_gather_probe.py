@@ -22,6 +22,14 @@ Variants measured here (all bit-identical outputs):
 
 Timing: pipelined (issue N, block once), fresh-process dispatch rules
 (CLAUDE.md tunnel notes) — run standalone, one scene size per line.
+
+CAVEAT (round-5 lesson, sched_sort_probe): through the axon tunnel,
+async-mode block_until_ready can return before execution finishes, so
+these wall numbers are only trustworthy as RATIOS between variants of
+the same shape class, and only after an in-program device trace
+confirms the winner. That confirmation exists: trace_profile stress2m
+measured the production fetch at 0.56 (flat row gather) -> 0.35
+((N,16,8) brick) -> 0.20 ms/call ((N,128) brick, shipped).
 """
 
 import argparse

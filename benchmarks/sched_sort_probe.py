@@ -63,6 +63,28 @@ def main():
             res[f"n{n}_v{k}_ms"] = round(bench(mk(n, k)), 4)
     # supercluster-granular: 1/8 the entries, 33 rows (32 mask + key)
     res["n2176_v32_ms"] = round(bench(mk(2176, 32)), 4)
+
+    # Device-trace truth (the wall numbers above are UNRELIABLE: the
+    # axon tunnel's block_until_ready returns early — the b9ee9de
+    # failure mode — so pipelined walls of small programs read as
+    # dispatch floor; traced v4 measured 0.458 ms, 15x the wall, and
+    # exactly the in-program sort.99 cost). Trace the scaling that
+    # matters: operand count at the production length + the
+    # supercluster-granular alternative.
+    from tpu_pathtracer.utils.kernel_profile import kernel_profile_traced
+
+    def traced(n, k):
+        ops = mk(n, k)
+        f = jax.jit(lambda *xs: jax.lax.sort(
+            xs, dimension=-1, num_keys=1, is_stable=False
+        ))
+        prof = kernel_profile_traced(f, *ops)
+        return round(prof["device_total"] * 1e3, 4)
+
+    for k in (0, 1, 2, 4):
+        res[f"traced_n17408_v{k}_ms"] = traced(17408, k)
+    res["traced_n2176_v32_ms"] = traced(2176, 32)
+    res["traced_n2176_v8_ms"] = traced(2176, 8)
     with open(os.path.join(HERE, "sched_sort_probe_result.json"),
               "w") as f:
         json.dump(res, f, indent=1)
