@@ -33,9 +33,25 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..scene.mesh import Geometry, host_array
+from .cluster_layout import (
+    DMA_ROWS,
+    RAYS_PER_TILE,
+    RAY_TILE,
+    TRI_CHUNK,
+    _BITS_SHIFT,
+    _BUCKETS,
+    _BUCKET_SHIFT,
+    _GID_BITS,
+    _GMAX_CLUSTERS,
+    _ID_BITS,
+    _MAX_CLUSTERS,
+    _SC,
+    _bucket_clusters,
+    median_split_order,
+    morton_order,
+    pack_triangles_ordered,
+)
 
-TRI_CHUNK = 128      # triangles per inner-loop chunk (sublane dim)
-RAY_TILE = 128       # rays per lane row
 ROWS_PER_STEP = 32   # lane rows per grid step (amortizes step overhead)
 
 
@@ -397,146 +413,10 @@ def pallas_closest_hit(geom: Geometry, tri_pack, o, d, t_min=1e-4,
 # tiles (primary rays, shadow rays to a common light) touch a small
 # fraction of clusters; incoherent bounce tiles degrade gracefully toward
 # brute force. Handles scenes up to VMEM capacity (~150k triangles).
-
-DMA_ROWS = 8         # lane rows per culled-kernel tile (fine cull masks)
-RAYS_PER_TILE = RAY_TILE * DMA_ROWS  # cull-mask granularity (rays/tile)
-
-
-def morton_order(geom: Geometry) -> np.ndarray:
-    """Triangle permutation by Morton code of the bbox centroid."""
-    v0 = host_array(geom.tri_v0)
-    v1 = v0 + host_array(geom.tri_e1)
-    v2 = v0 + host_array(geom.tri_e2)
-    tmin = np.minimum(np.minimum(v0, v1), v2)
-    tmax = np.maximum(np.maximum(v0, v1), v2)
-    cen = 0.5 * (tmin + tmax)
-    lo, hi = cen.min(0), cen.max(0)
-    norm = (cen - lo) / np.maximum(hi - lo, 1e-12)
-    q = np.clip(norm * 1023.0, 0, 1023).astype(np.uint64)
-
-    def expand(v):
-        v = (v | (v << 16)) & 0x030000FF
-        v = (v | (v << 8)) & 0x0300F00F
-        v = (v | (v << 4)) & 0x030C30C3
-        v = (v | (v << 2)) & 0x09249249
-        return v
-
-    code = (expand(q[:, 0]) << 2) | (expand(q[:, 1]) << 1) | expand(
-        q[:, 2]
-    )
-    return np.argsort(code, kind="stable").astype(np.int32)
-
-
-def median_split_order(geom: Geometry) -> np.ndarray:
-    """Triangle permutation by recursive longest-axis object-median split.
-
-    Split points snap to multiples of TRI_CHUNK, so the consecutive
-    128-triangle blocks that become cull clusters are the LEAVES of the
-    split tree — spatially compact boxes instead of arbitrary Morton-run
-    spans. Same cluster count, same pack layout, same kernels; measured
-    on stress100k (benchmarks/cluster_quality.py): group→cluster pair
-    count 86.3k → 36.4k coherent (2.37x) and 30.4k → 16.2k incoherent
-    (1.87x) vs morton_order. Plays the role of the reference's BVH
-    build quality (reference include/rendering/bvh.h:64-120 midpoint
-    split) for the cluster schedule.
-    """
-    v0 = host_array(geom.tri_v0)
-    v1 = v0 + host_array(geom.tri_e1)
-    v2 = v0 + host_array(geom.tri_e2)
-    cen = 0.5 * (np.minimum(np.minimum(v0, v1), v2)
-                 + np.maximum(np.maximum(v0, v1), v2))
-    out = []
-
-    def rec(idx):
-        if idx.shape[0] <= TRI_CHUNK:
-            out.append(idx)
-            return
-        c = cen[idx]
-        axis = int(np.argmax(c.max(0) - c.min(0)))
-        half = idx.shape[0] // 2
-        k = max(TRI_CHUNK, (half // TRI_CHUNK) * TRI_CHUNK)
-        if k >= idx.shape[0]:
-            k = idx.shape[0] - TRI_CHUNK
-        # argpartition, not argsort: the split only needs the below/
-        # above-median SETS (deeper recursion refines order; leaves
-        # are unordered 128-tri clusters) — O(n) per level instead of
-        # O(n log n), ~2x faster clustering at 2.1M tris. Deterministic
-        # for a given input.
-        part = np.argpartition(c[:, axis], k)
-        rec(idx[part[:k]])
-        rec(idx[part[k:]])
-
-    rec(np.arange(cen.shape[0], dtype=np.int32))
-    return np.concatenate(out)
-
-
-def _bucket_clusters(c: int) -> int:
-    """Cluster-count compile-cache bucket: round up to a multiple of
-    max(_SC, 2^(msb(c)) / 16) — at most 16 distinct shapes per octave,
-    worst-case pad 6.7%. Scenes whose cluster counts land in the same
-    bucket compile to identical HLO (the persistent XLA cache then
-    serves the 13-min remote compile of the big-scene programs). Pad
-    is not free at runtime (the schedule sort and block gate scale
-    with cpad), so the quantum balances cache hits against that tax:
-    stress2m's 16408 clusters bucket to 17408 (+6.1%). Small scenes
-    (c <= 128) keep the old _SC-multiple rounding exactly, so the pad
-    there is the supercluster rounding we always paid."""
-    q = max(_SC, (1 << max(c.bit_length() - 1, 0)) >> 4)
-    return min(-(-c // q) * q, _GMAX_CLUSTERS)
-
-
-def pack_triangles_ordered(geom: Geometry, order: np.ndarray):
-    """Morton-permuted triangle constants in TRANSPOSED layout (16, Tpad):
-    constants on sublanes, triangles on lanes. Unlike the (Tpad, 16)
-    layout this has no lane padding (exact 64B/triangle), so XLA can stage
-    it in VMEM inside loops without 8x bloat, and per-cluster slices are
-    lane-aligned for DMA. Row 12 carries the triangle's LOGICAL primitive
-    id (f32-exact below 2^24; padding lanes get -2, matching no real
-    primitive) so the any-hit variant can apply source/target exclusion
-    in-kernel. Returns (tri_pack_T, cluster_min, cluster_max).
-    """
-    inv = host_array(geom.tri_inv)[order]
-    v0 = host_array(geom.tri_v0)[order]
-    e1 = host_array(geom.tri_e1)[order]
-    e2 = host_array(geom.tri_e2)[order]
-    t = inv.shape[0]
-    # COMPILE-CACHE SHAPE BUCKETING (VERDICT r4 #4): the remote compile
-    # of the big-scene wavefront program costs 13-14 min, and every new
-    # scene used to get fresh (cluster, tri) shapes. Clusters round up
-    # to <=8 sizes per octave (pad <=12.5%) and the pack to exactly
-    # cbucket*TRI_CHUNK columns, so nearby scene sizes share one HLO
-    # and hit the persistent cache. Padded clusters carry NaN bounds:
-    # NaN fails every slab compare, so they never gate on, never
-    # schedule, never contribute to tn/texit — bitwise-invisible.
-    # ((inf, -inf) boxes would spuriously slab-HIT: the per-axis
-    # min/max recovers a full interval. NaN is the only always-miss
-    # pad under this formulation.) Padded tris keep a zero inverse
-    # (NaN t -> rejected) and prim -2. The _SC*TRI_CHUNK supercluster
-    # rounding is subsumed: cbucket is a multiple of _SC.
-    c = (t + TRI_CHUNK - 1) // TRI_CHUNK
-    cbucket = _bucket_clusters(c)
-    tpad = cbucket * TRI_CHUNK
-    out = np.zeros((tpad, 16), np.float32)
-    out[:t, 0:9] = inv.reshape(t, 9)
-    out[:t, 9:12] = np.einsum("tij,tj->ti", inv, v0)
-    out[:t, 12] = host_array(geom.tri_prim)[order]
-    out[t:, 12] = -2.0
-
-    v1, v2 = v0 + e1, v0 + e2
-    tmin = np.minimum(np.minimum(v0, v1), v2)
-    tmax = np.maximum(np.maximum(v0, v1), v2)
-    cmin = np.full((c, TRI_CHUNK, 3), np.inf, np.float32)
-    cmax = np.full((c, TRI_CHUNK, 3), -np.inf, np.float32)
-    cmin.reshape(-1, 3)[:t] = tmin
-    cmax.reshape(-1, 3)[:t] = tmax
-    cmin = cmin.min(axis=1)
-    cmax = cmax.max(axis=1)
-    pad = np.full((cbucket - c, 3), np.nan, np.float32)
-    return (
-        jnp.asarray(out.T.copy()),
-        jnp.asarray(np.concatenate([cmin, pad])),
-        jnp.asarray(np.concatenate([cmax, pad])),
-    )
+#
+# Cluster ordering (morton_order / median_split_order), the packed
+# schedule-key bit layout, compile-cache shape bucketing, and the ordered
+# pack builder live in cluster_layout.py (host-side, no Pallas).
 
 
 def _fetch_attr_rows(at128, ids):
@@ -718,6 +598,11 @@ class CulledScene:
         (t, id) is order-invariant up to the documented exact-tie caveat
         of the serial cluster schedule."""
         b = o.shape[0]
+        # function-local import: the slim probe prepass lives with the
+        # row kernel's sort path in the legacy module (which imports
+        # this one at module level — importing it lazily here avoids
+        # the cycle; by call time both modules are fully initialized).
+        from .intersect_pallas_legacy import _prepass_probe
         c_probe = _prepass_probe(
             self.cluster_min, self.cluster_max, o, d, t_min
         )
@@ -991,148 +876,17 @@ def pallas_occluded(tri_pack, prim_pack, o, d, max_dist,
 # math. Scales to arbitrary triangle counts at O(active clusters) work.
 
 
-# Packed cluster-key layout (one int32 per cluster slot):
-#   [bit 30] inactive  [bits 20..29] tnear bucket  [bits 12..19] row
-#   bits  [bits 0..11] cluster id
-# A single-operand jnp.sort on this key yields the active-first,
-# front-to-back, fully deterministic cluster schedule — multi-operand
-# lexicographic lax.sort measured 25 ms/bounce on the 101k-tri scene,
-# single-key sort is ~10x cheaper. The id field caps scenes at
-# _MAX_CLUSTERS clusters (1.05M triangles at 13 id bits; the row
-# kernel's layout then carries 13 id + 8 row + 9 bucket + inactive
-# bit 30 — widening id past 13 would start eating row bits).
-_ID_BITS = 13
-_BITS_SHIFT = _ID_BITS
-_BUCKET_SHIFT = _ID_BITS + DMA_ROWS
-_BUCKETS = 1 << (30 - _BUCKET_SHIFT)
-_MAX_CLUSTERS = 1 << _ID_BITS
-
-# The GROUPED kernels carry their masks out-of-key, so the 8 row-mask
-# bits of the row-kernel key layout are free: cluster ids get 21 bits
-# (2M clusters = 268M triangles in ONE pack) and the bucket field keeps
-# the exact same shift/width as the row layout. The schedule no longer
-# fits SMEM whole at that scale (1 MB cap measured on this chip) — the
-# walk streams it from HBM in _SCHED_CHUNK-entry ring slots instead.
-_GID_BITS = _BUCKET_SHIFT           # 21
-_GMAX_CLUSTERS = 1 << _GID_BITS
+# The packed schedule-key bit layout (_ID_BITS/_BUCKET_SHIFT/... — 13-bit
+# row-kernel ids, 21-bit grouped ids) is defined in cluster_layout.py and
+# imported above. The schedule no longer fits SMEM whole at 2M-cluster
+# scale (1 MB cap measured on this chip) — the walk streams it from HBM
+# in _SCHED_CHUNK-entry ring slots instead.
 _SCHED_CHUNK = 1024                 # schedule entries per SMEM ring slot
                                     # (power of two: the per-visit
                                     # position->slot math must be shifts)
 
-
-
-def _kernel_prepass_probe(cb_ref, ox, oy, oz, ix, iy, iz, scal_ref,
-                          tbest_ref, cbest_ref):
-    """Slim prepass variant: per-ray nearest touched cluster ONLY.
-
-    Same slab tests as _kernel_prepass but skips the per-(tile, cluster)
-    row-hit flags, tile-min entry distances and t_exit accumulation —
-    the sort path in pallas_closest_tuv_dma needs only c_best on the
-    UNSORTED rays (the full prepass then runs once on the sorted batch),
-    so the old full double-prepass paid ~2x the pre-pass cost per bounce
-    for outputs it discarded."""
-    t_min = scal_ref[0]
-    n_real = scal_ref[1]
-    j = pl.program_id(1)
-    blk = jnp.transpose(cb_ref[...])          # (128 clusters, 8)
-    cvalid = (
-        jax.lax.broadcasted_iota(jnp.int32, (TRI_CHUNK, 1), 0)
-        + j * TRI_CHUNK
-    ).astype(jnp.float32) < n_real
-
-    def col(k):
-        return blk[:, k][:, None]
-
-    tbest8 = []
-    cbest8 = []
-    for r in range(DMA_ROWS):
-        ro = (ox[r:r+1, :], oy[r:r+1, :], oz[r:r+1, :])
-        ri = (ix[r:r+1, :], iy[r:r+1, :], iz[r:r+1, :])
-        tn = jnp.full((TRI_CHUNK, RAY_TILE), t_min, jnp.float32)
-        tf = jnp.full((TRI_CHUNK, RAY_TILE), jnp.inf, jnp.float32)
-        for ax in range(3):
-            lo = (col(ax) - ro[ax]) * ri[ax]
-            hi = (col(ax + 3) - ro[ax]) * ri[ax]
-            tn = jnp.maximum(tn, jnp.minimum(lo, hi))
-            tf = jnp.minimum(tf, jnp.maximum(lo, hi))
-        hit = (tf >= tn) & (tf > 0.0)
-        tn_ray = jnp.where(hit & cvalid, tn, jnp.inf)
-        tbr = jnp.min(tn_ray, axis=0, keepdims=True)
-        cids = jax.lax.broadcasted_iota(
-            jnp.int32, (TRI_CHUNK, RAY_TILE), 0
-        ) + j * TRI_CHUNK
-        cbr = jnp.min(
-            jnp.where(tn_ray == tbr, cids, jnp.int32(0x7FFFFFFF)),
-            axis=0, keepdims=True,
-        ).astype(jnp.float32)
-        tbest8.append(tbr)
-        cbest8.append(cbr)
-    tb = jnp.concatenate(tbest8, axis=0)      # (8, 128)
-    cb = jnp.concatenate(cbest8, axis=0)
-
-    @pl.when(j == 0)
-    def _():
-        tbest_ref[0] = tb
-        cbest_ref[0] = cb
-
-    @pl.when(j > 0)
-    def _():
-        closer = tb < tbest_ref[0]
-        tbest_ref[0] = jnp.where(closer, tb, tbest_ref[0])
-        cbest_ref[0] = jnp.where(closer, cb, cbest_ref[0])
-
-
-def _prepass_probe(cluster_min, cluster_max, o, d, t_min):
-    """c_best (B,) f32 only — the sort key probe (see _kernel_prepass_probe)."""
-    b = o.shape[0]
-    c = cluster_min.shape[0]
-    tiles = b // RAYS_PER_TILE
-    rows = b // RAY_TILE
-    cpad = ((c + RAY_TILE - 1) // RAY_TILE) * RAY_TILE
-    safe_d = jnp.where(jnp.abs(d) > 1e-8, d, 1e-8)
-    inv_d = 1.0 / safe_d
-    cb = jnp.concatenate(
-        [
-            jnp.pad(cluster_min.T, ((0, 0), (0, cpad - c)),
-                    constant_values=jnp.inf),
-            jnp.pad(cluster_max.T, ((0, 0), (0, cpad - c)),
-                    constant_values=jnp.inf),
-            jnp.zeros((2, cpad), jnp.float32),
-        ]
-    )
-    ray_spec = pl.BlockSpec(
-        (DMA_ROWS, RAY_TILE), lambda i, j: (i, 0),
-        memory_space=pltpu.VMEM,
-    )
-    per_ray_spec = pl.BlockSpec(
-        (1, DMA_ROWS, RAY_TILE), lambda i, j: (i, 0, 0),
-        memory_space=pltpu.VMEM,
-    )
-    per_ray_shape = jax.ShapeDtypeStruct(
-        (tiles, DMA_ROWS, RAY_TILE), jnp.float32
-    )
-    _t_best, c_best = _pallas_call(
-        _kernel_prepass_probe,
-        grid=(tiles, cpad // TRI_CHUNK),
-        in_specs=[
-            pl.BlockSpec((8, TRI_CHUNK), lambda i, j: (0, j),
-                         memory_space=pltpu.VMEM)
-        ]
-        + [ray_spec] * 6
-        + [pl.BlockSpec(memory_space=pltpu.SMEM)],
-        out_specs=[per_ray_spec, per_ray_spec],
-        out_shape=[per_ray_shape, per_ray_shape],
-    )(
-        cb,
-        *_ray_comps(o, jnp.zeros_like(o), rows)[:3],
-        *_ray_comps(inv_d, jnp.zeros_like(o), rows)[:3],
-        jnp.stack([
-            jnp.asarray(t_min, jnp.float32),
-            jnp.asarray(float(c), jnp.float32),
-        ]),
-    )
-    return c_best.reshape(b)
-
+# The slim per-ray nearest-cluster prepass probe (_prepass_probe) used by
+# the legacy row kernel's sort_rays path lives in intersect_pallas_legacy.
 
 
 
@@ -1736,7 +1490,7 @@ def _prepass_groups(cluster_min, cluster_max, comps, t_min, b,
     return ghit, tn[:, 0, :], texit, c, cpad
 
 
-_SC = 8                  # clusters per SUPERCLUSTER schedule entry
+# _SC (clusters per SUPERCLUSTER schedule entry) comes from cluster_layout.
 _SC_MIN_CLUSTERS = 1 << 30   # SUPERCLUSTER WALK: measured WASH on the
                          # 2.1M-tri scene (device 306 vs 298 ms; walk
                          # 1.211 vs 1.243 ms/call, sort -0.14, glue

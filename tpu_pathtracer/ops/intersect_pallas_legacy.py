@@ -38,10 +38,122 @@ from .intersect_pallas import (
     _MAX_CLUSTERS,
     _pad_rays,
     _pallas_call,
-    _prepass_probe,
     _ray_comps,
     _ray_spec,
 )
+
+def _kernel_prepass_probe(cb_ref, ox, oy, oz, ix, iy, iz, scal_ref,
+                          tbest_ref, cbest_ref):
+    """Slim prepass variant: per-ray nearest touched cluster ONLY.
+
+    Same slab tests as _kernel_prepass but skips the per-(tile, cluster)
+    row-hit flags, tile-min entry distances and t_exit accumulation —
+    the sort path in pallas_closest_tuv_dma needs only c_best on the
+    UNSORTED rays (the full prepass then runs once on the sorted batch),
+    so the old full double-prepass paid ~2x the pre-pass cost per bounce
+    for outputs it discarded."""
+    t_min = scal_ref[0]
+    n_real = scal_ref[1]
+    j = pl.program_id(1)
+    blk = jnp.transpose(cb_ref[...])          # (128 clusters, 8)
+    cvalid = (
+        jax.lax.broadcasted_iota(jnp.int32, (TRI_CHUNK, 1), 0)
+        + j * TRI_CHUNK
+    ).astype(jnp.float32) < n_real
+
+    def col(k):
+        return blk[:, k][:, None]
+
+    tbest8 = []
+    cbest8 = []
+    for r in range(DMA_ROWS):
+        ro = (ox[r:r+1, :], oy[r:r+1, :], oz[r:r+1, :])
+        ri = (ix[r:r+1, :], iy[r:r+1, :], iz[r:r+1, :])
+        tn = jnp.full((TRI_CHUNK, RAY_TILE), t_min, jnp.float32)
+        tf = jnp.full((TRI_CHUNK, RAY_TILE), jnp.inf, jnp.float32)
+        for ax in range(3):
+            lo = (col(ax) - ro[ax]) * ri[ax]
+            hi = (col(ax + 3) - ro[ax]) * ri[ax]
+            tn = jnp.maximum(tn, jnp.minimum(lo, hi))
+            tf = jnp.minimum(tf, jnp.maximum(lo, hi))
+        hit = (tf >= tn) & (tf > 0.0)
+        tn_ray = jnp.where(hit & cvalid, tn, jnp.inf)
+        tbr = jnp.min(tn_ray, axis=0, keepdims=True)
+        cids = jax.lax.broadcasted_iota(
+            jnp.int32, (TRI_CHUNK, RAY_TILE), 0
+        ) + j * TRI_CHUNK
+        cbr = jnp.min(
+            jnp.where(tn_ray == tbr, cids, jnp.int32(0x7FFFFFFF)),
+            axis=0, keepdims=True,
+        ).astype(jnp.float32)
+        tbest8.append(tbr)
+        cbest8.append(cbr)
+    tb = jnp.concatenate(tbest8, axis=0)      # (8, 128)
+    cb = jnp.concatenate(cbest8, axis=0)
+
+    @pl.when(j == 0)
+    def _():
+        tbest_ref[0] = tb
+        cbest_ref[0] = cb
+
+    @pl.when(j > 0)
+    def _():
+        closer = tb < tbest_ref[0]
+        tbest_ref[0] = jnp.where(closer, tb, tbest_ref[0])
+        cbest_ref[0] = jnp.where(closer, cb, cbest_ref[0])
+
+
+def _prepass_probe(cluster_min, cluster_max, o, d, t_min):
+    """c_best (B,) f32 only — the sort key probe (see _kernel_prepass_probe)."""
+    b = o.shape[0]
+    c = cluster_min.shape[0]
+    tiles = b // RAYS_PER_TILE
+    rows = b // RAY_TILE
+    cpad = ((c + RAY_TILE - 1) // RAY_TILE) * RAY_TILE
+    safe_d = jnp.where(jnp.abs(d) > 1e-8, d, 1e-8)
+    inv_d = 1.0 / safe_d
+    cb = jnp.concatenate(
+        [
+            jnp.pad(cluster_min.T, ((0, 0), (0, cpad - c)),
+                    constant_values=jnp.inf),
+            jnp.pad(cluster_max.T, ((0, 0), (0, cpad - c)),
+                    constant_values=jnp.inf),
+            jnp.zeros((2, cpad), jnp.float32),
+        ]
+    )
+    ray_spec = pl.BlockSpec(
+        (DMA_ROWS, RAY_TILE), lambda i, j: (i, 0),
+        memory_space=pltpu.VMEM,
+    )
+    per_ray_spec = pl.BlockSpec(
+        (1, DMA_ROWS, RAY_TILE), lambda i, j: (i, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    per_ray_shape = jax.ShapeDtypeStruct(
+        (tiles, DMA_ROWS, RAY_TILE), jnp.float32
+    )
+    _t_best, c_best = _pallas_call(
+        _kernel_prepass_probe,
+        grid=(tiles, cpad // TRI_CHUNK),
+        in_specs=[
+            pl.BlockSpec((8, TRI_CHUNK), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM)
+        ]
+        + [ray_spec] * 6
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=[per_ray_spec, per_ray_spec],
+        out_shape=[per_ray_shape, per_ray_shape],
+    )(
+        cb,
+        *_ray_comps(o, jnp.zeros_like(o), rows)[:3],
+        *_ray_comps(inv_d, jnp.zeros_like(o), rows)[:3],
+        jnp.stack([
+            jnp.asarray(t_min, jnp.float32),
+            jnp.asarray(float(c), jnp.float32),
+        ]),
+    )
+    return c_best.reshape(b)
+
 
 def _cluster_mask(cluster_min, cluster_max, o, d, t_min):
     """Per-1024-ray-tile cluster visibility mask (XLA pre-pass).
