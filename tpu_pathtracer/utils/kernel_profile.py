@@ -240,6 +240,25 @@ def kernel_profile_traced(step_fn, *args, log_dir=None) -> dict:
             str(e.get("name", "")),
             str(e.get("args", {}).get("long_name", "")),
         ))
+    if not raw:
+        # CPU fallback: XLA:CPU has no "device:" process / "XLA Ops"
+        # track — per-op events live in the PjRt CPU client thread pool
+        # with the HLO op in args.hlo_op ("end: <op>" markers and thunk
+        # bookkeeping events carry no hlo_op). Classification is
+        # coarser than on TPU (no jax op_name long names), but the
+        # viewer's kernel panel stays live on CPU-only hosts.
+        for e in events:
+            a = e.get("args") or {}
+            name = str(e.get("name", ""))
+            if (e.get("ph") != "X" or "hlo_op" not in a
+                    or name.startswith("end:")):
+                continue
+            raw.append((
+                e.get("pid"), e.get("tid"),
+                float(e.get("ts", 0.0)), float(e.get("dur", 0.0)),
+                name,
+                str(a.get("hlo_module", "")),
+            ))
     seconds, per_op, n_ops = _bucket_exclusive(raw)
     total = sum(seconds.values()) or 1.0
     top = sorted(per_op.items(), key=lambda kv: -kv[1][0])[:15]
