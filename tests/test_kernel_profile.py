@@ -61,3 +61,25 @@ def test_exclusive_separate_threads_not_nested():
     ]
     seconds, _, _ = _bucket_exclusive(raw)
     assert abs(sum(seconds.values()) * 1e6 - 100.0) < 1e-6
+
+
+def test_cpu_trace_fallback_finds_ops(tmp_path):
+    """XLA:CPU traces carry per-op events in the PjRt client thread pool
+    (args.hlo_op) instead of a 'device:' process with an 'XLA Ops'
+    track; kernel_profile_traced must fall back to them so the viewer's
+    kernel panel works on CPU-only hosts."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_pathtracer.utils.kernel_profile import kernel_profile_traced
+
+    @jax.jit
+    def f(x):
+        return jnp.sort(jnp.sin(x) @ x, axis=-1)
+
+    x = jnp.ones((128, 128))
+    prof = kernel_profile_traced(f, x, log_dir=str(tmp_path))
+    assert prof["ops"] > 0
+    assert prof["device_total"] > 0
+    # the sort must land in its phase bucket via the fallback events
+    assert "sort" in prof["percent"]

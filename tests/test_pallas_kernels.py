@@ -849,3 +849,33 @@ class TestMultiPart:
             )
             fired += int((~may).sum())
         assert fired > 0, "cull never fired on outside-origin rays"
+
+
+class TestClusterBuckets:
+    """Compile-cache shape bucketing invariants (cluster_layout.py):
+    bucket sizes must round UP, stay multiples of the supercluster
+    quantum, respect the 21-bit id cap, and keep the worst-case pad
+    within the documented 6.7% past the small-scene regime."""
+
+    def test_bucket_invariants(self):
+        from tpu_pathtracer.ops.cluster_layout import (
+            _GMAX_CLUSTERS,
+            _SC,
+            _bucket_clusters,
+        )
+
+        prev = 0
+        for c in range(1, 5000):
+            b = _bucket_clusters(c)
+            assert b >= min(c, _GMAX_CLUSTERS)
+            assert b % _SC == 0
+            assert b <= _GMAX_CLUSTERS
+            assert b >= prev or b == _GMAX_CLUSTERS  # monotone in c
+            prev = b
+            if c > 128:
+                assert (b - c) / c <= 1.0 / 15 + 1e-9  # <= 6.7% pad
+        # spot values from the shipped scenes
+        assert _bucket_clusters(16408) == 17408   # stress2m
+        assert _bucket_clusters(795) == 800       # stress100k
+        # huge scenes clamp to the id cap instead of overflowing
+        assert _bucket_clusters(_GMAX_CLUSTERS + 5) == _GMAX_CLUSTERS
