@@ -15,7 +15,6 @@ schedule.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
